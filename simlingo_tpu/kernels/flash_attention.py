@@ -1,0 +1,360 @@
+"""Pallas TPU flash attention (fwd + bwd) for SimLingo-TPU.
+
+Replaces the reference's flash-attn-2 CUDA dependency (SURVEY.md section 2.10,
+reference README.md:68) with a TPU-native fused kernel.
+
+Semantics tailored to the framework's *static hybrid-sequence layout*:
+
+  * slot-order causality: query at slot i attends to keys at slots <= i
+    (our collate guarantees valid text tokens are contiguous from slot 0 and
+    driving-query tokens follow them, so slot order == effective position
+    order; see core/structs.py docstring);
+  * key-validity masking: padded key slots are excluded via a boolean
+    ``kv_valid`` array -- together these reproduce the reference's
+    left-pad + valid-first-sort attention mask exactly;
+  * grouped-query attention (Qwen2-0.5B: 14 query heads / 2 kv heads);
+  * fp32 softmax statistics, bf16 throughput on the MXU.
+
+TPU layout notes:
+  * softmax log-sum-exp is stored as [B, H, 8, T] (stats broadcast over the
+    8-sublane dim) to satisfy the (8, 128) tile constraint -- same trick as
+    jax's bundled kernel which uses a 128-lane broadcast;
+  * the backward pass recomputes delta = rowsum(dO * O) inside the kernels
+    from the saved output, avoiding an HBM round-trip for a broadcast array.
+
+The public entrypoint :func:`attention` dispatches to the Pallas kernel on
+TPU and to a jnp reference implementation elsewhere (CPU tests, debugging).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+STAT_SUBLANES = 8
+
+
+def _interpret() -> bool:
+    """Run kernels in interpreter mode off-TPU (CPU tests)."""
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Reference implementation (identical semantics, pure XLA)
+# ---------------------------------------------------------------------------
+
+def attention_reference(
+    q: jnp.ndarray,                     # [B, T, HQ, D]
+    k: jnp.ndarray,                     # [B, S, HK, D]
+    v: jnp.ndarray,                     # [B, S, HK, D]
+    kv_valid: Optional[jnp.ndarray],    # [B, S] bool or None
+    causal: bool,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    B, T, HQ, D = q.shape
+    _, S, HK, _ = k.shape
+    group = HQ // HK
+    if scale is None:
+        scale = D ** -0.5
+    qf = q.astype(jnp.float32) * scale
+    kf = jnp.repeat(k.astype(jnp.float32), group, axis=2)
+    vf = jnp.repeat(v.astype(jnp.float32), group, axis=2)
+    logits = jnp.einsum("bthd,bshd->bhts", qf, kf)
+    mask = jnp.ones((B, 1, T, S), dtype=bool)
+    if causal:
+        # query slot i (offset so the q block is the *last* T slots when S > T)
+        cm = jnp.tril(jnp.ones((T, S), dtype=bool), k=S - T)
+        mask = mask & cm[None, None]
+    if kv_valid is not None:
+        mask = mask & kv_valid[:, None, None, :]
+    logits = jnp.where(mask, logits, NEG_INF)
+    m = logits.max(axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = p.sum(axis=-1, keepdims=True)
+    p = p / jnp.maximum(l, 1e-30)
+    out = jnp.einsum("bhts,bshd->bthd", p, vf)
+    # rows with no valid key produce zeros
+    any_valid = mask.any(axis=-1)                       # [B, H, T]
+    out = out * any_valid.transpose(0, 2, 1)[..., None]
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
+                *, scale: float, causal: bool, block_q: int, block_k: int,
+                kv_len: int):
+    # q_ref: [1, 1, bq, D]; k/v_ref: [1, 1, S, D]; valid_ref: [1, 1, S] int32
+    # o_ref: [1, 1, bq, D]; lse_ref: [1, 1, STAT_SUBLANES, bq]
+    qi = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32) * scale          # [bq, D]
+    bq, D = q.shape
+    nk = kv_len // block_k
+
+    q_slot = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
+
+    if causal:
+        # last kv block that can contain an unmasked key for this q block
+        last = (qi * block_q + bq - 1) // block_k + 1
+        nk_eff = jnp.minimum(nk, last)
+    else:
+        nk_eff = nk
+
+    def body(j, carry):
+        acc, m_prev, l_prev = carry
+        kb = k_ref[0, 0, pl.ds(j * block_k, block_k)].astype(jnp.float32)
+        vb = v_ref[0, 0, pl.ds(j * block_k, block_k)].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                            # [bq, bk]
+        kv_slot = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        mask = valid_ref[0, 0, pl.ds(j * block_k, block_k)][None, :] != 0
+        if causal:
+            mask = mask & (kv_slot <= q_slot)
+        s = jnp.where(mask, s, NEG_INF)
+        m_cur = jnp.max(s, axis=-1)                                        # [bq]
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new[:, None])
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + p.sum(axis=-1)
+        acc = acc * alpha[:, None] + jax.lax.dot_general(
+            p, vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((bq, D), jnp.float32)
+    m0 = jnp.full((bq,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq,), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, nk_eff, body, (acc0, m0, l0))
+
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+    # log-sum-exp; rows with zero mass get NEG_INF so exp(s - lse) == 0 in bwd
+    lse = jnp.where(l > 0, m + jnp.log(l_safe), NEG_INF)                   # [bq]
+    lse_ref[0, 0] = jnp.broadcast_to(lse[None, :], (STAT_SUBLANES, bq))
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref, lse_ref,
+                dq_ref, dk_ref, dv_ref, *, scale: float, causal: bool,
+                block_q: int, block_k: int, q_len: int):
+    """Fused backward: one pass over kv blocks computing dq, dk, dv.
+
+    Grid (B, HQ, nk). dq uses a *revisited* full-T accumulator block (same
+    block index for every kv step, zeroed at ki == 0) so a single kernel
+    produces all three gradients -- one recompute of p per (q, kv) block pair
+    instead of two, and no concurrently-scheduled sibling kernels.
+    """
+    ki = pl.program_id(2)
+    kb = k_ref[0, 0].astype(jnp.float32)                                  # [bk, D]
+    vb = v_ref[0, 0].astype(jnp.float32)
+    bk, D = kb.shape
+    nq = q_len // block_q
+
+    @pl.when(ki == 0)
+    def _():
+        dq_ref[0, 0] = jnp.zeros_like(dq_ref[0, 0])
+
+    kv_slot = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 1)
+    valid = valid_ref[0, 0, pl.ds(ki * block_k, bk)][None, :] != 0
+
+    first = (ki * block_k) // block_q if causal else 0
+
+    def body(j, carry):
+        dk, dv = carry
+        qb = q_ref[0, 0, pl.ds(j * block_q, block_q)].astype(jnp.float32)  # [bq, D]
+        dob = do_ref[0, 0, pl.ds(j * block_q, block_q)].astype(jnp.float32)
+        ob = o_ref[0, 0, pl.ds(j * block_q, block_q)].astype(jnp.float32)
+        delta = (dob * ob).sum(axis=-1)                                    # [bq]
+        lse = lse_ref[0, 0, 0, pl.ds(j * block_q, block_q)]                # [bq]
+        s = scale * jax.lax.dot_general(
+            qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        q_slot = j * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 0)
+        mask = valid
+        if causal:
+            mask = mask & (kv_slot <= q_slot)
+        p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)                # [bq, bk]
+        dv = dv + jax.lax.dot_general(
+            p, dob, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            dob, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        dk = dk + scale * jax.lax.dot_general(
+            ds, qb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dq_ref[0, 0, pl.ds(j * block_q, block_q)] += scale * jax.lax.dot_general(
+            ds, kb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return dk, dv
+
+    dk0 = jnp.zeros((bk, D), jnp.float32)
+    dv0 = jnp.zeros((bk, D), jnp.float32)
+    dk, dv = jax.lax.fori_loop(first, nq, body, (dk0, dv0))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers
+# ---------------------------------------------------------------------------
+
+def _pad_to(x, axis, multiple):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, k, v, kv_valid, causal, scale, block_q, block_k):
+    out, _ = _flash_fwd_impl(q, k, v, kv_valid, causal, scale, block_q, block_k)
+    return out
+
+
+def _flash_fwd_impl(q, k, v, kv_valid, causal, scale, block_q, block_k):
+    # q: [B, HQ, T, D]; k/v: [B, HK, S, D]; kv_valid: [B, S] int32
+    B, HQ, T, D = q.shape
+    _, HK, S, _ = k.shape
+    group = HQ // HK
+    nq = T // block_q
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal,
+        block_q=block_q, block_k=block_k, kv_len=S)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(B, HQ, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, S, D), lambda b, h, i: (b, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, S, D), lambda b, h, i: (b, h // group, 0, 0)),
+            pl.BlockSpec((1, 1, S), lambda b, h, i: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, STAT_SUBLANES, block_q),
+                         lambda b, h, i: (b, h, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, HQ, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, HQ, STAT_SUBLANES, T), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(q, k, v, kv_valid)
+    return out, lse
+
+
+def _flash_fwd(q, k, v, kv_valid, causal, scale, block_q, block_k):
+    out, lse = _flash_fwd_impl(q, k, v, kv_valid, causal, scale, block_q, block_k)
+    return out, (q, k, v, kv_valid, out, lse)
+
+
+def _flash_bwd(causal, scale, block_q, block_k, res, dout):
+    q, k, v, kv_valid, out, lse = res
+    B, HQ, T, D = q.shape
+    _, HK, S, _ = k.shape
+    group = HQ // HK
+
+    # One fused kernel: dq accumulated in a revisited block across kv steps;
+    # dk/dv written per kv block (per q-head, group-reduced below).
+    dq, dk_e, dv_e = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, causal=causal,
+                          block_q=block_q, block_k=block_k, q_len=T),
+        grid=(B, HQ, S // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, T, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h // group, i, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h // group, i, 0)),
+            pl.BlockSpec((1, 1, S), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, T, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, T, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, STAT_SUBLANES, T), lambda b, h, i: (b, h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, T, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, HQ, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, HQ, S, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, HQ, S, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(q, k, v, kv_valid, out, dout, lse)
+
+    dq = dq.astype(q.dtype)
+    dk = dk_e.reshape(B, HK, group, S, D).sum(axis=2).astype(k.dtype)
+    dv = dv_e.reshape(B, HK, group, S, D).sum(axis=2).astype(v.dtype)
+    return dq, dk, dv, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,                     # [B, T, HQ, D]
+    k: jnp.ndarray,                     # [B, S, HK, D]
+    v: jnp.ndarray,                     # [B, S, HK, D]
+    kv_valid: Optional[jnp.ndarray] = None,   # [B, S] bool
+    causal: bool = True,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jnp.ndarray:
+    """Pallas flash attention with slot-order causality + key-validity masking."""
+    B, T, HQ, D = q.shape
+    _, S, HK, _ = k.shape
+    if scale is None:
+        scale = D ** -0.5
+
+    block_q = min(block_q, max(128, 1 << (T - 1).bit_length()))
+    block_k = min(block_k, max(128, 1 << (S - 1).bit_length()))
+
+    if kv_valid is None:
+        kv_valid = jnp.ones((B, S), dtype=jnp.int32)
+    else:
+        kv_valid = kv_valid.astype(jnp.int32)
+
+    # [B, T, H, D] -> [B, H, T, D]; pad sequence dims to block multiples
+    qt = _pad_to(q.transpose(0, 2, 1, 3), 2, block_q)
+    kt = _pad_to(k.transpose(0, 2, 1, 3), 2, block_k)
+    vt = _pad_to(v.transpose(0, 2, 1, 3), 2, block_k)
+    valid = _pad_to(kv_valid, 1, block_k)[:, None, :]   # [B, 1, S]
+
+    out = _flash(qt, kt, vt, valid, causal, scale, block_q, block_k)
+    return out[:, :, :T].transpose(0, 2, 1, 3)
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_valid: Optional[jnp.ndarray] = None,
+    causal: bool = True,
+    scale: Optional[float] = None,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Dispatch: Pallas kernel on TPU, jnp reference elsewhere."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        return flash_attention(q, k, v, kv_valid, causal=causal, scale=scale)
+    return attention_reference(q, k, v, kv_valid, causal=causal, scale=scale)

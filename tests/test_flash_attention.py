@@ -1,0 +1,81 @@
+"""Flash-attention kernel: pallas (interpret on CPU) vs jnp reference vs torch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simlingo_tpu.kernels.flash_attention import (
+    attention_reference, flash_attention)
+
+
+def _rand_qkv(key, B, T, S, HQ, HK, D, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (B, T, HQ, D), dtype)
+    k = jax.random.normal(k2, (B, S, HK, D), dtype)
+    v = jax.random.normal(k3, (B, S, HK, D), dtype)
+    return q, k, v
+
+
+def test_reference_matches_torch_sdpa():
+    """Reference impl vs torch scaled_dot_product_attention (causal + GQA)."""
+    torch = pytest.importorskip("torch")
+    B, T, HQ, HK, D = 2, 64, 4, 2, 32
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0), B, T, T, HQ, HK, D)
+    out = attention_reference(q, k, v, None, causal=True)
+
+    tq = torch.tensor(np.asarray(q)).permute(0, 2, 1, 3)
+    tk = torch.tensor(np.asarray(k)).permute(0, 2, 1, 3)
+    tv = torch.tensor(np.asarray(v)).permute(0, 2, 1, 3)
+    ref = torch.nn.functional.scaled_dot_product_attention(
+        tq, tk, tv, is_causal=True, enable_gqa=True)
+    ref = ref.permute(0, 2, 1, 3).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("T,S", [(256, 256), (200, 200)])
+def test_flash_matches_reference(causal, T, S):
+    B, HQ, HK, D = 2, 4, 2, 64
+    key = jax.random.PRNGKey(1)
+    q, k, v = _rand_qkv(key, B, T, S, HQ, HK, D)
+    # some padded keys at the end
+    n_valid = S - 37
+    kv_valid = jnp.arange(S)[None, :] < jnp.array([n_valid, S])[:, None]
+
+    out_ref = attention_reference(q, k, v, kv_valid, causal=causal)
+    out = flash_attention(q, k, v, kv_valid, causal=causal,
+                          block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_gradients_match_reference():
+    B, T, HQ, HK, D = 1, 128, 2, 1, 64
+    key = jax.random.PRNGKey(2)
+    q, k, v = _rand_qkv(key, B, T, T, HQ, HK, D)
+    kv_valid = jnp.arange(T)[None, :] < (T - 19)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, kv_valid, causal=True,
+                            block_q=128, block_k=128)
+        return (o * jnp.cos(jnp.arange(o.size).reshape(o.shape))).sum()
+
+    def loss_ref(q, k, v):
+        o = attention_reference(q, k, v, kv_valid, causal=True)
+        return (o * jnp.cos(jnp.arange(o.size).reshape(o.shape))).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
+
+
+def test_fully_masked_rows_are_zero():
+    B, T, HQ, HK, D = 1, 128, 2, 2, 64
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), B, T, T, HQ, HK, D)
+    kv_valid = jnp.zeros((B, T), dtype=bool)
+    out = flash_attention(q, k, v, kv_valid, causal=True)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
