@@ -56,21 +56,24 @@ def attention_reference(
     kv_valid: Optional[jnp.ndarray],    # [B, S] bool or None
     causal: bool,
     scale: Optional[float] = None,
+    q_offset: Optional[jnp.ndarray] = None,  # scalar: global slot of q row 0
 ) -> jnp.ndarray:
     B, T, HQ, D = q.shape
     _, S, HK, _ = k.shape
     group = HQ // HK
     if scale is None:
         scale = D ** -0.5
+    if q_offset is None:
+        q_offset = S - T  # end-aligned (the no-cache case: T == S => 0)
     qf = q.astype(jnp.float32) * scale
     kf = jnp.repeat(k.astype(jnp.float32), group, axis=2)
     vf = jnp.repeat(v.astype(jnp.float32), group, axis=2)
     logits = jnp.einsum("bthd,bshd->bhts", qf, kf)
     mask = jnp.ones((B, 1, T, S), dtype=bool)
     if causal:
-        # query slot i (offset so the q block is the *last* T slots when S > T)
-        cm = jnp.tril(jnp.ones((T, S), dtype=bool), k=S - T)
-        mask = mask & cm[None, None]
+        q_slot = jnp.arange(T)[:, None] + q_offset
+        kv_slot = jnp.arange(S)[None, :]
+        mask = mask & (kv_slot <= q_slot)[None, None]
     if kv_valid is not None:
         mask = mask & kv_valid[:, None, None, :]
     logits = jnp.where(mask, logits, NEG_INF)
@@ -89,22 +92,25 @@ def attention_reference(
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
+def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
                 *, scale: float, causal: bool, block_q: int, block_k: int,
                 kv_len: int):
+    # off_ref: [1, 1] int32 SMEM (global slot of q row 0)
     # q_ref: [1, 1, bq, D]; k/v_ref: [1, 1, S, D]; valid_ref: [1, 1, S] int32
     # o_ref: [1, 1, bq, D]; lse_ref: [1, 1, STAT_SUBLANES, bq]
     qi = pl.program_id(2)
+    off = off_ref[0, 0]
     q = q_ref[0, 0].astype(jnp.float32) * scale          # [bq, D]
     bq, D = q.shape
     nk = kv_len // block_k
 
-    q_slot = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
+    q_slot = off + qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (bq, block_k), 0)
 
     if causal:
         # last kv block that can contain an unmasked key for this q block
-        last = (qi * block_q + bq - 1) // block_k + 1
-        nk_eff = jnp.minimum(nk, last)
+        last = (off + qi * block_q + bq - 1) // block_k + 1
+        nk_eff = jnp.clip(last, 0, nk)
     else:
         nk_eff = nk
 
@@ -147,7 +153,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
 # Backward kernels
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref, lse_ref,
+def _bwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref, lse_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float, causal: bool,
                 block_q: int, block_k: int, q_len: int):
     """Fused backward: one pass over kv blocks computing dq, dk, dv.
@@ -158,6 +164,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref, lse_ref,
     instead of two, and no concurrently-scheduled sibling kernels.
     """
     ki = pl.program_id(2)
+    off = off_ref[0, 0]
     kb = k_ref[0, 0].astype(jnp.float32)                                  # [bk, D]
     vb = v_ref[0, 0].astype(jnp.float32)
     bk, D = kb.shape
@@ -170,7 +177,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref, lse_ref,
     kv_slot = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 1)
     valid = valid_ref[0, 0, pl.ds(ki * block_k, bk)][None, :] != 0
 
-    first = (ki * block_k) // block_q if causal else 0
+    first = jnp.clip((ki * block_k - off) // block_q, 0, nq) if causal else 0
 
     def body(j, carry):
         dk, dv = carry
@@ -181,7 +188,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref, lse_ref,
         lse = lse_ref[0, 0, 0, pl.ds(j * block_q, block_q)]                # [bq]
         s = scale * jax.lax.dot_general(
             qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        q_slot = j * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 0)
+        q_slot = off + j * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, bk), 0)
         mask = valid
         if causal:
             mask = mask & (kv_slot <= q_slot)
@@ -218,14 +226,16 @@ def _pad_to(x, axis, multiple):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash(q, k, v, kv_valid, causal, scale, block_q, block_k):
-    out, _ = _flash_fwd_impl(q, k, v, kv_valid, causal, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash(q, k, v, kv_valid, q_off, causal, scale, block_q, block_k):
+    out, _ = _flash_fwd_impl(q, k, v, kv_valid, q_off, causal, scale,
+                             block_q, block_k)
     return out
 
 
-def _flash_fwd_impl(q, k, v, kv_valid, causal, scale, block_q, block_k):
-    # q: [B, HQ, T, D]; k/v: [B, HK, S, D]; kv_valid: [B, S] int32
+def _flash_fwd_impl(q, k, v, kv_valid, q_off, causal, scale, block_q, block_k):
+    # q: [B, HQ, T, D]; k/v: [B, HK, S, D]; kv_valid: [B, 1, S] int32
+    # q_off: [1, 1] int32
     B, HQ, T, D = q.shape
     _, HK, S, _ = k.shape
     group = HQ // HK
@@ -238,6 +248,7 @@ def _flash_fwd_impl(q, k, v, kv_valid, causal, scale, block_q, block_k):
         kernel,
         grid=(B, HQ, nq),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
             pl.BlockSpec((1, 1, S, D), lambda b, h, i: (b, h // group, 0, 0)),
             pl.BlockSpec((1, 1, S, D), lambda b, h, i: (b, h // group, 0, 0)),
@@ -255,17 +266,18 @@ def _flash_fwd_impl(q, k, v, kv_valid, causal, scale, block_q, block_k):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(q, k, v, kv_valid)
+    )(q_off, q, k, v, kv_valid)
     return out, lse
 
 
-def _flash_fwd(q, k, v, kv_valid, causal, scale, block_q, block_k):
-    out, lse = _flash_fwd_impl(q, k, v, kv_valid, causal, scale, block_q, block_k)
-    return out, (q, k, v, kv_valid, out, lse)
+def _flash_fwd(q, k, v, kv_valid, q_off, causal, scale, block_q, block_k):
+    out, lse = _flash_fwd_impl(q, k, v, kv_valid, q_off, causal, scale,
+                               block_q, block_k)
+    return out, (q, k, v, kv_valid, q_off, out, lse)
 
 
 def _flash_bwd(causal, scale, block_q, block_k, res, dout):
-    q, k, v, kv_valid, out, lse = res
+    q, k, v, kv_valid, q_off, out, lse = res
     B, HQ, T, D = q.shape
     _, HK, S, _ = k.shape
     group = HQ // HK
@@ -277,6 +289,7 @@ def _flash_bwd(causal, scale, block_q, block_k, res, dout):
                           block_q=block_q, block_k=block_k, q_len=T),
         grid=(B, HQ, S // block_k),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, T, D), lambda b, h, i: (b, h, 0, 0)),
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h // group, i, 0)),
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h // group, i, 0)),
@@ -298,12 +311,12 @@ def _flash_bwd(causal, scale, block_q, block_k, res, dout):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(q, k, v, kv_valid, out, dout, lse)
+    )(q_off, q, k, v, kv_valid, out, dout, lse)
 
     dq = dq.astype(q.dtype)
     dk = dk_e.reshape(B, HK, group, S, D).sum(axis=2).astype(k.dtype)
     dv = dv_e.reshape(B, HK, group, S, D).sum(axis=2).astype(v.dtype)
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -318,12 +331,16 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = 256,
     block_k: int = 256,
+    q_offset: Optional[jnp.ndarray] = None,   # scalar: global slot of q row 0
 ) -> jnp.ndarray:
     """Pallas flash attention with slot-order causality + key-validity masking."""
     B, T, HQ, D = q.shape
     _, S, HK, _ = k.shape
     if scale is None:
         scale = D ** -0.5
+    if q_offset is None:
+        q_offset = S - T
+    q_off = jnp.full((1, 1), q_offset, jnp.int32)
 
     block_q = min(block_q, max(128, 1 << (T - 1).bit_length()))
     block_k = min(block_k, max(128, 1 << (S - 1).bit_length()))
@@ -339,7 +356,7 @@ def flash_attention(
     vt = _pad_to(v.transpose(0, 2, 1, 3), 2, block_k)
     valid = _pad_to(kv_valid, 1, block_k)[:, None, :]   # [B, 1, S]
 
-    out = _flash(qt, kt, vt, valid, causal, scale, block_q, block_k)
+    out = _flash(qt, kt, vt, valid, q_off, causal, scale, block_q, block_k)
     return out[:, :, :T].transpose(0, 2, 1, 3)
 
 
@@ -351,10 +368,13 @@ def attention(
     causal: bool = True,
     scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
+    q_offset: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Dispatch: Pallas kernel on TPU, jnp reference elsewhere."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        return flash_attention(q, k, v, kv_valid, causal=causal, scale=scale)
-    return attention_reference(q, k, v, kv_valid, causal=causal, scale=scale)
+        return flash_attention(q, k, v, kv_valid, causal=causal, scale=scale,
+                               q_offset=q_offset)
+    return attention_reference(q, k, v, kv_valid, causal=causal, scale=scale,
+                               q_offset=q_offset)

@@ -1,0 +1,269 @@
+"""Qwen2 decoder-only LLM (the InternVL2-1B language tower), pure-functional JAX.
+
+Behavioral counterpart of the reference's HF Qwen2 loaded via
+`AutoModel.from_pretrained(InternVL2-1B).language_model`
+(reference simlingo_training/models/language_model/llm.py:87-93), re-built
+TPU-first:
+
+  * operates on *input embeddings* (the VLA model splices image features and
+    waypoint embeddings into the sequence before the LLM, so token-id lookup
+    happens in the adaptors);
+  * explicit position ids (RoPE) + key-validity mask: supports the framework's
+    static right-padded layout (see core/structs.py);
+  * attention via the Pallas flash kernel on TPU (kernels/flash_attention.py);
+  * optional LoRA (r, alpha on all linear projections -- the reference uses
+    peft target_modules="all-linear", llm.py:106-119);
+  * optional KV cache for prefill + single-token decode (the reference has NO
+    cache and re-forwards the whole prefix per token, llm.py:217-235).
+
+Architecture constants (Qwen2-0.5B-Instruct inside InternVL2-1B): hidden 896,
+24 layers, 14 query heads / 2 kv heads, head_dim 64, intermediate 4864,
+RMSNorm eps 1e-6, rope_theta 1e6, SwiGLU MLP, qkv-bias yes / o-bias no,
+tied word embeddings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from simlingo_tpu.kernels.flash_attention import attention
+from simlingo_tpu.models import layers as L
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen2Config:
+    vocab_size: int = 151674          # InternVL2-1B tokenizer (incl. IMG tokens)
+    hidden_size: int = 896
+    num_layers: int = 24
+    num_heads: int = 14
+    num_kv_heads: int = 2
+    head_dim: int = 64
+    intermediate_size: int = 4864
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1e6
+    tie_word_embeddings: bool = True
+    # LoRA (None => disabled)
+    lora_r: int = 0
+    lora_alpha: int = 0
+    lora_dropout: float = 0.0
+
+    @staticmethod
+    def tiny(vocab_size: int = 512) -> "Qwen2Config":
+        """Small config for tests."""
+        return Qwen2Config(vocab_size=vocab_size, hidden_size=64, num_layers=2,
+                           num_heads=4, num_kv_heads=2, head_dim=16,
+                           intermediate_size=128)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_params(key, cfg: Qwen2Config, dtype=jnp.float32) -> Dict[str, Any]:
+    keys = jax.random.split(key, cfg.num_layers + 2)
+    H, D = cfg.hidden_size, cfg.head_dim
+    p: Dict[str, Any] = {
+        "embed": L.embedding_init(keys[0], cfg.vocab_size, H, dtype=dtype),
+        "final_norm": L.rmsnorm_init(H, dtype),
+        "layers": {},
+    }
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = {"w": L._normal(keys[1], (H, cfg.vocab_size), dtype=dtype)}
+    for i in range(cfg.num_layers):
+        k = jax.random.split(keys[i + 2], 8)
+        p["layers"][str(i)] = {
+            "ln1": L.rmsnorm_init(H, dtype),
+            "ln2": L.rmsnorm_init(H, dtype),
+            "attn": {
+                "q": L.linear_init(k[0], H, cfg.num_heads * D, True, dtype),
+                "k": L.linear_init(k[1], H, cfg.num_kv_heads * D, True, dtype),
+                "v": L.linear_init(k[2], H, cfg.num_kv_heads * D, True, dtype),
+                "o": L.linear_init(k[3], cfg.num_heads * D, H, False, dtype),
+            },
+            "mlp": L.swiglu_mlp_init(k[4], H, cfg.intermediate_size, dtype),
+        }
+    return p
+
+
+_LORA_TARGETS = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+def init_lora_params(key, cfg: Qwen2Config, dtype=jnp.float32) -> Dict[str, Any]:
+    """LoRA A/B for every linear projection in every layer (peft 'all-linear')."""
+    assert cfg.lora_r > 0
+    H, D = cfg.hidden_size, cfg.head_dim
+    dims = {
+        "q": (H, cfg.num_heads * D), "k": (H, cfg.num_kv_heads * D),
+        "v": (H, cfg.num_kv_heads * D), "o": (cfg.num_heads * D, H),
+        "gate": (H, cfg.intermediate_size), "up": (H, cfg.intermediate_size),
+        "down": (cfg.intermediate_size, H),
+    }
+    p: Dict[str, Any] = {"layers": {}}
+    keys = jax.random.split(key, cfg.num_layers)
+    for i in range(cfg.num_layers):
+        lk = jax.random.split(keys[i], len(_LORA_TARGETS))
+        layer = {}
+        for j, name in enumerate(_LORA_TARGETS):
+            din, dout = dims[name]
+            # peft init: A kaiming-uniform, B zeros => identity at start
+            layer[name] = {
+                "a": L._kaiming_uniform(lk[j], (din, cfg.lora_r), din, dtype),
+                "b": jnp.zeros((cfg.lora_r, dout), dtype),
+            }
+        p["layers"][str(i)] = layer
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _linear_maybe_lora(p, lora, x, cfg: Qwen2Config, dropout_rng=None):
+    y = L.linear(p, x)
+    if lora is not None:
+        scale = cfg.lora_alpha / cfg.lora_r
+        xl = x
+        if dropout_rng is not None and cfg.lora_dropout > 0:
+            keep = jax.random.bernoulli(dropout_rng, 1 - cfg.lora_dropout, x.shape)
+            xl = x * keep / (1 - cfg.lora_dropout)
+        y = y + scale * ((xl @ lora["a"].astype(x.dtype)) @ lora["b"].astype(x.dtype))
+    return y
+
+
+def _attn_block(p, lora, x, cfg: Qwen2Config, cos, sin, kv_valid, causal,
+                cache=None, cache_index=None, dropout_rngs=None):
+    """Self-attention with RoPE/GQA; optionally reads+updates a KV cache.
+
+    cache: dict with 'k','v' [B, max_len, HK, D] preallocated buffers.
+    cache_index: int32 scalar -- write offset of the current chunk.
+    """
+    B, T, H = x.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def lr(name, inp):
+        rng = dropout_rngs[name] if dropout_rngs else None
+        return _linear_maybe_lora(p[name], lora.get(name) if lora else None,
+                                  inp, cfg, rng)
+
+    q = lr("q", x).reshape(B, T, nh, hd)
+    k = lr("k", x).reshape(B, T, nkv, hd)
+    v = lr("v", x).reshape(B, T, nkv, hd)
+
+    q = L.apply_rope(q, cos, sin)
+    k = L.apply_rope(k, cos, sin)
+
+    new_cache = None
+    q_offset = None
+    if cache is not None:
+        ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
+                                          (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
+                                          (0, cache_index, 0, 0))
+        new_cache = {"k": ck, "v": cv}
+        k, v = ck, cv
+        # q tokens occupy cache slots [cache_index, cache_index + T): causal
+        # masking with a dynamic offset covers prefill, decode, and the
+        # driving-query forward uniformly.
+        q_offset = cache_index
+
+    out = attention(q, k, v, kv_valid, causal=causal, q_offset=q_offset)
+    out = out.reshape(B, T, nh * hd)
+    rng = dropout_rngs["o"] if dropout_rngs else None
+    return _linear_maybe_lora(p["o"], lora.get("o") if lora else None,
+                              out, cfg, rng), new_cache
+
+
+def _mlp_block(p, lora, x, cfg: Qwen2Config, dropout_rngs=None):
+    def lr(name, inp):
+        rng = dropout_rngs[name] if dropout_rngs else None
+        return _linear_maybe_lora(p[name], lora.get(name) if lora else None,
+                                  inp, cfg, rng)
+    return lr("down", jax.nn.silu(lr("gate", x)) * lr("up", x))
+
+
+def forward(
+    params: Dict[str, Any],
+    inputs_embeds: jnp.ndarray,              # [B, T, H]
+    cfg: Qwen2Config,
+    position_ids: jnp.ndarray,               # [B, T] int32
+    kv_valid: Optional[jnp.ndarray] = None,  # [B, T] (or [B, max_len] w/ cache)
+    causal: bool = True,
+    lora_params: Optional[Dict[str, Any]] = None,
+    cache: Optional[Dict[str, Any]] = None,  # {'layers': {i: {'k','v'}}, 'index'}
+    remat: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, Optional[Dict[str, Any]]]:
+    """Run the decoder stack on pre-built input embeddings.
+
+    Returns (last_hidden_state [B, T, H] -- post final RMSNorm, new_cache).
+    """
+    x = inputs_embeds
+    inv_freq = L.rope_frequencies(cfg.head_dim, cfg.rope_theta)
+    cos, sin = L.rope_cos_sin(position_ids, inv_freq)
+
+    cache_index = cache["index"] if cache is not None else None
+    new_cache = {"layers": {}, "index": None} if cache is not None else None
+
+    def layer_fn(x, lp, lo, layer_cache, layer_idx):
+        rngs = None
+        if dropout_rng is not None and cfg.lora_dropout > 0 and lora_params is not None:
+            ks = jax.random.split(jax.random.fold_in(dropout_rng, layer_idx), 8)
+            rngs = dict(zip(("q", "k", "v", "o", "gate", "up", "down", "_"), ks))
+        a, upd = _attn_block(lp["attn"], lo.get("attn") if lo else None,
+                             L.rmsnorm(lp["ln1"], x, cfg.rms_norm_eps), cfg,
+                             cos, sin, kv_valid, causal,
+                             cache=layer_cache, cache_index=cache_index,
+                             dropout_rngs=rngs)
+        x = x + a
+        m = _mlp_block(lp["mlp"], lo.get("mlp") if lo else None,
+                       L.rmsnorm(lp["ln2"], x, cfg.rms_norm_eps), cfg, rngs)
+        return x + m, upd
+
+    for i in range(cfg.num_layers):
+        lp = params["layers"][str(i)]
+        lo = None
+        if lora_params is not None:
+            lo = {"attn": {}, "mlp": {}}
+            for t in ("q", "k", "v", "o"):
+                lo["attn"][t] = lora_params["layers"][str(i)][t]
+            for t in ("gate", "up", "down"):
+                lo["mlp"][t] = lora_params["layers"][str(i)][t]
+        layer_cache = cache["layers"][str(i)] if cache is not None else None
+        fn = jax.checkpoint(layer_fn, static_argnums=(4,)) if (remat and cache is None) else layer_fn
+        x, upd = fn(x, lp, lo, layer_cache, i)
+        if new_cache is not None:
+            new_cache["layers"][str(i)] = upd
+
+    if new_cache is not None:
+        new_cache["index"] = cache_index + inputs_embeds.shape[1]
+    x = L.rmsnorm(params["final_norm"], x, cfg.rms_norm_eps)
+    return x, new_cache
+
+
+def logits_from_hidden(params, hidden, cfg: Qwen2Config) -> jnp.ndarray:
+    """LM head (tied to embeddings unless a separate lm_head exists)."""
+    if "lm_head" in params:
+        w = params["lm_head"]["w"]
+    else:
+        w = params["embed"]["w"].T
+    return hidden @ w.astype(hidden.dtype)
+
+
+def embed_tokens(params, ids, dtype=None) -> jnp.ndarray:
+    return L.embed(params["embed"], ids, dtype=dtype)
+
+
+def init_cache(cfg: Qwen2Config, batch: int, max_len: int,
+               dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Preallocated KV cache (static shapes for jit)."""
+    shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {
+        "layers": {str(i): {"k": jnp.zeros(shape, dtype),
+                            "v": jnp.zeros(shape, dtype)}
+                   for i in range(cfg.num_layers)},
+        "index": jnp.zeros((), jnp.int32),
+    }
