@@ -170,7 +170,10 @@ def _attn_block(p, lora, x, cfg: Qwen2Config, cos, sin, kv_valid, causal,
         # driving-query forward uniformly.
         q_offset = cache_index
 
-    out = attention(q, k, v, kv_valid, causal=causal, q_offset=q_offset)
+    # single-token decode: the XLA einsum path beats a padded flash kernel
+    use_pallas = None if T >= 64 else False
+    out = attention(q, k, v, kv_valid, causal=causal, q_offset=q_offset,
+                    use_pallas=use_pallas)
     out = out.reshape(B, T, nh * hd)
     rng = dropout_rngs["o"] if dropout_rngs else None
     return _linear_maybe_lora(p["o"], lora.get("o") if lora else None,

@@ -1,0 +1,147 @@
+"""pjit'd training step: fused forward + backward + optimizer update.
+
+Counterpart of the reference training runtime (SURVEY.md section 2.4):
+Lightning + DeepSpeed ZeRO-2, AdamW lr 3e-5 betas(0.9,0.999) wd, OneCycleLR
+pct_start 0.05, grad clip 0.3, fp16 loss scale 32
+(reference train.py:160-214, driving.py:718-732, config.py:74-104).
+
+TPU re-design: one compiled program per step; bf16 compute with fp32 master
+params and fp32 optimizer state (no loss scaling needed); sharding is
+declared on params/batch and XLA emits the collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from simlingo_tpu.core.structs import DrivingExample, TrainingOutput
+from simlingo_tpu.models import simlingo
+from simlingo_tpu.models.simlingo import SimLingoConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    lr: float = 3e-5
+    weight_decay: float = 0.1
+    betas: Tuple[float, float] = (0.9, 0.999)
+    pct_start: float = 0.05            # OneCycle warmup fraction
+    grad_clip: float = 0.3
+    total_steps: int = 10_000
+    # peak/initial/final lr ratios follow torch OneCycleLR defaults
+    div_factor: float = 25.0
+    final_div_factor: float = 1e4
+
+
+def onecycle_schedule(cfg: OptimizerConfig) -> optax.Schedule:
+    """torch.optim.lr_scheduler.OneCycleLR (cos strategy) equivalent."""
+    return optax.cosine_onecycle_schedule(
+        transition_steps=cfg.total_steps,
+        peak_value=cfg.lr,
+        pct_start=cfg.pct_start,
+        div_factor=cfg.div_factor,
+        final_div_factor=cfg.final_div_factor,
+    )
+
+
+def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(
+            learning_rate=onecycle_schedule(cfg),
+            b1=cfg.betas[0], b2=cfg.betas[1],
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+
+
+def init_train_state(params: Any, opt: optax.GradientTransformation) -> Dict[str, Any]:
+    return {
+        "params": params,
+        "opt_state": opt.init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def cast_for_compute(params: Any, dtype=jnp.bfloat16) -> Any:
+    """fp32 master -> bf16 compute copy (norm internals stay fp32)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
+
+
+def production_trainable(path: str) -> bool:
+    """The reference's trainable set (simlingo_seed1.yaml): full vision tower,
+    LoRA adapters, driving adaptors, waypoint encoder; base LLM frozen."""
+    return not path.startswith("llm/")
+
+
+def trainable_mask(params: Any, trainable_fn: Callable[[str], bool]) -> Any:
+    from simlingo_tpu.parallel.mesh import _path_str
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: trainable_fn(_path_str(path)), params)
+
+
+def make_masked_optimizer(cfg: OptimizerConfig, mask: Any
+                          ) -> optax.GradientTransformation:
+    """Optimizer state only for trainable leaves (frozen leaves carry
+    lightweight MaskedNode placeholders -- the ZeRO-friendly analog of the
+    reference's peft-frozen base model)."""
+    return optax.masked(make_optimizer(cfg), mask)
+
+
+def make_train_step(model_cfg: SimLingoConfig, opt: optax.GradientTransformation,
+                    compute_dtype=jnp.bfloat16,
+                    donate: bool = True,
+                    trainable_mask_tree: Optional[Any] = None
+                    ) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    With `trainable_mask_tree` (bool pytree matching params), frozen leaves
+    are stop-gradient'ed inside the loss (no weight-grad FLOPs) and must be
+    masked in the optimizer via make_masked_optimizer.
+    """
+
+    def loss_fn(params, batch: DrivingExample, rng):
+        if trainable_mask_tree is not None:
+            params = jax.tree_util.tree_map(
+                lambda m, p: p if m else jax.lax.stop_gradient(p),
+                trainable_mask_tree, params)
+        cparams = cast_for_compute(params, compute_dtype)
+        out, _ = simlingo.forward_loss(cparams, batch, model_cfg,
+                                       dropout_rng=rng,
+                                       compute_dtype=compute_dtype)
+        metrics = dict(out.loss_averages)
+        metrics["loss"] = out.loss
+        return out.loss, metrics
+
+    def train_step(state, batch: DrivingExample, rng):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch, rng)
+        grads = jax.tree_util.tree_map(
+            lambda g: g.astype(jnp.float32), grads)
+        updates, new_opt_state = opt.update(grads, state["opt_state"],
+                                            state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = dict(state)
+        new_state.update(params=new_params, opt_state=new_opt_state,
+                         step=state["step"] + 1)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model_cfg: SimLingoConfig,
+                   compute_dtype=jnp.bfloat16) -> Callable:
+    def eval_step(params, batch: DrivingExample):
+        cparams = cast_for_compute(params, compute_dtype)
+        out, preds = simlingo.forward_loss(cparams, batch, model_cfg,
+                                           compute_dtype=compute_dtype)
+        metrics = dict(out.loss_averages)
+        metrics["loss"] = out.loss
+        return metrics, preds
+    return jax.jit(eval_step)

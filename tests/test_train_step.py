@@ -1,0 +1,68 @@
+"""Training-step + sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simlingo_tpu.data.synthetic import synthetic_example
+from simlingo_tpu.models import simlingo
+from simlingo_tpu.models.simlingo import SimLingoConfig
+from simlingo_tpu.parallel import mesh as meshlib
+from simlingo_tpu.train import train_step as ts
+
+
+def test_train_step_reduces_loss_single_device():
+    cfg = SimLingoConfig.tiny()
+    params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
+    opt = ts.make_optimizer(ts.OptimizerConfig(lr=3e-3, total_steps=50,
+                                               grad_clip=1.0))
+    state = ts.init_train_state(params, opt)
+    step = ts.make_train_step(cfg, opt, compute_dtype=jnp.float32)
+    ex = synthetic_example(cfg, batch=2, seq_len=96, num_patches=1)
+    rng = jax.random.PRNGKey(1)
+
+    losses = []
+    for i in range(8):
+        state, m = step(state, ex, jax.random.fold_in(rng, i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_train_step_sharded_matches_replicated():
+    """Same batch, 8-device (2,2,2) mesh vs single device: identical loss."""
+    cfg = SimLingoConfig.tiny()
+    params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
+    opt = ts.make_optimizer(ts.OptimizerConfig(lr=1e-3, total_steps=50,
+                                               grad_clip=1.0))
+    ex = synthetic_example(cfg, batch=8, seq_len=96, num_patches=1)
+    rng = jax.random.PRNGKey(1)
+
+    # single device
+    state = ts.init_train_state(params, opt)
+    step = ts.make_train_step(cfg, opt, compute_dtype=jnp.float32, donate=False)
+    _, m_single = step(state, ex, rng)
+
+    # sharded
+    mesh = meshlib.make_mesh(dp=2, fsdp=2, tp=2)
+    sharded_params = meshlib.shard_params(params, mesh)
+    sharded_batch = jax.tree_util.tree_map(
+        jax.device_put, ex, meshlib.batch_shardings(ex, mesh))
+    state_s = ts.init_train_state(sharded_params, opt)
+    new_state, m_sharded = step(state_s, sharded_batch, rng)
+
+    np.testing.assert_allclose(float(m_single["loss"]),
+                               float(m_sharded["loss"]), rtol=1e-4)
+    # params actually sharded across devices
+    w = new_state["params"]["llm"]["layers"]["0"]["mlp"]["gate"]["w"]
+    assert not w.sharding.is_fully_replicated
+
+
+def test_onecycle_schedule_shape():
+    cfg = ts.OptimizerConfig(lr=3e-5, total_steps=1000, pct_start=0.05)
+    sched = ts.onecycle_schedule(cfg)
+    lr0 = float(sched(0))
+    lr_peak = float(sched(50))
+    lr_end = float(sched(999))
+    assert abs(lr_peak - 3e-5) / 3e-5 < 1e-5
+    assert lr0 < lr_peak and lr_end < lr0
