@@ -29,6 +29,7 @@ TPU and to a jnp reference implementation elsewhere (CPU tests, debugging).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -360,6 +361,87 @@ def flash_attention(
     return out[:, :, :T].transpose(0, 2, 1, 3)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _hybrid(q, k, v, kv_valid, causal, scale, q_offset_static):
+    return flash_attention(q, k, v, kv_valid, causal=causal, scale=scale,
+                           q_offset=q_offset_static)
+
+
+def _hybrid_fwd(q, k, v, kv_valid, causal, scale, q_offset_static):
+    out = flash_attention(q, k, v, kv_valid, causal=causal, scale=scale,
+                          q_offset=q_offset_static)
+    return out, (q, k, v, kv_valid)
+
+
+def _hybrid_bwd(causal, scale, q_offset_static, res, g):
+    q, k, v, kv_valid = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_reference(
+            q_, k_, v_, kv_valid, causal=causal, scale=scale,
+            q_offset=q_offset_static), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
+
+
+def flash_attention_hybrid(q, k, v, kv_valid=None, causal=True, scale=None,
+                           q_offset=None):
+    """Pallas forward + XLA-recompute backward.
+
+    Robust training path for TPU runtimes where our fused Pallas backward
+    misbehaves: the forward stays fused/flash (no T^2 materialization at
+    inference or in the saved residuals); the backward recomputes attention
+    with plain XLA einsums (fine at SimLingo sequence lengths ~1k).
+    Requires a static q_offset (training always has q_offset None => S-T).
+    """
+    assert q_offset is None or isinstance(q_offset, int)
+    return _hybrid(q, k, v, kv_valid, causal, scale, q_offset)
+
+
+# Global implementation override: "auto" | "pallas" | "hybrid" | "xla" | "bundled".
+# "bundled" adapts jax's reference TPU flash kernel (GQA expanded, validity
+# via segment ids) -- an escape hatch for TPU runtimes where our fused
+# backward misbehaves; it only covers the training case (T == S, no offset).
+_ATTN_IMPL = os.environ.get("SIMLINGO_ATTN_IMPL", "auto")
+
+
+def set_attention_impl(impl: str) -> None:
+    global _ATTN_IMPL
+    assert impl in ("auto", "pallas", "hybrid", "xla", "bundled"), impl
+    _ATTN_IMPL = impl
+
+
+def get_attention_impl() -> str:
+    return _ATTN_IMPL
+
+
+def _attention_bundled(q, k, v, kv_valid, causal, scale, q_offset):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds)
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention as jax_fa)
+    B, T, HQ, D = q.shape
+    _, S, HK, _ = k.shape
+    assert T == S, "bundled impl only supports the training case (T == S)"
+    group = HQ // HK
+    qt = q.transpose(0, 2, 1, 3)
+    kt = jnp.repeat(k.transpose(0, 2, 1, 3), group, axis=1)
+    vt = jnp.repeat(v.transpose(0, 2, 1, 3), group, axis=1)
+    seg = None
+    if kv_valid is not None:
+        kv_seg = kv_valid.astype(jnp.int32)
+        q_seg = jnp.ones((B, T), jnp.int32)
+        seg = SegmentIds(q=q_seg, kv=kv_seg)
+    out = jax_fa(qt, kt, vt, segment_ids=seg, causal=causal,
+                 sm_scale=scale if scale is not None else D ** -0.5)
+    # rows whose own key slot is invalid attended nothing real; their output
+    # is garbage but masked downstream (loss mask / validity) -- same
+    # contract as our kernel except we do not zero them here.
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -370,11 +452,26 @@ def attention(
     use_pallas: Optional[bool] = None,
     q_offset: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Dispatch: Pallas kernel on TPU, jnp reference elsewhere."""
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
+    """Dispatch between our Pallas kernel, the XLA reference, and the
+    bundled-kernel adapter (see _ATTN_IMPL)."""
+    impl = _ATTN_IMPL
+    if use_pallas is False:
+        impl = "xla"
+    elif use_pallas is True:
+        impl = "pallas"
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "bundled" and (q.shape[1] != k.shape[1] or not causal):
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "hybrid" and not (q_offset is None or isinstance(q_offset, int)):
+        impl = "pallas"  # dynamic offset => inference path, fwd-only
+    if impl == "pallas":
         return flash_attention(q, k, v, kv_valid, causal=causal, scale=scale,
                                q_offset=q_offset)
+    if impl == "hybrid":
+        return flash_attention_hybrid(q, k, v, kv_valid, causal=causal,
+                                      scale=scale, q_offset=q_offset)
+    if impl == "bundled":
+        return _attention_bundled(q, k, v, kv_valid, causal, scale, q_offset)
     return attention_reference(q, k, v, kv_valid, causal=causal, scale=scale,
                                q_offset=q_offset)
