@@ -1,0 +1,161 @@
+"""Closed-loop driving agent core (simulator-independent).
+
+Counterpart of reference `team_code/agent_simlingo.py` (LingoAgent) with the
+CARLA plumbing factored out (see carla_agent.py for the leaderboard plugin):
+
+  * per-frame pipeline: camera preprocessing (hood crop + 1x2 448-tiling +
+    normalize), UKF ego-state filtering, prompt construction (CoT commentary
+    question or action-only), jit-compiled TPU inference (prefill + KV-cache
+    decode + driving-query forward -- the reference re-forwards the whole
+    prefix per generated token), PID control;
+  * stuck detection + creep throttle (reference :881-894);
+  * fully testable offline through agent/replay.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from simlingo_tpu.agent.config import AgentConfig
+from simlingo_tpu.agent.controllers import VehicleController
+from simlingo_tpu.agent.ukf import EgoUKF
+from simlingo_tpu.core.structs import DrivingInput
+from simlingo_tpu.data.image_pipe import preprocess_numpy
+from simlingo_tpu.data.prompts import batch_language_label, tokenize_chat
+from simlingo_tpu.data.tokenizer import SimLingoTokenizer
+from simlingo_tpu.models.simlingo import SimLingoConfig
+
+
+@dataclasses.dataclass
+class AgentFrame:
+    """One simulator tick's sensor payload (already CARLA-decoupled)."""
+    rgb: np.ndarray                 # [H, W, 3] uint8 front camera
+    speed: float                    # m/s
+    target_point: np.ndarray        # [2] ego-frame
+    next_target_point: np.ndarray   # [2] ego-frame
+    compass: float = 0.0
+    gps: Optional[np.ndarray] = None
+    user_instruction: Optional[str] = None   # interactive <SAFETY>/... prompts
+
+
+class LingoAgent:
+    def __init__(self, params: Dict[str, Any], model_cfg: SimLingoConfig,
+                 agent_cfg: Optional[AgentConfig] = None,
+                 tokenizer: Optional[SimLingoTokenizer] = None,
+                 max_prompt_len: int = 640,
+                 compute_dtype=None):
+        import jax
+        import jax.numpy as jnp
+        from simlingo_tpu.infer import runner
+
+        self.cfg = agent_cfg or AgentConfig()
+        self.model_cfg = model_cfg
+        self.params = params
+        self.tok = tokenizer or SimLingoTokenizer()
+        self.max_prompt_len = max_prompt_len
+        self.controller = VehicleController(self.cfg)
+        self.ukf = EgoUKF(dt=1.0 / self.cfg.carla_fps)
+        compute_dtype = compute_dtype or jnp.bfloat16
+
+        gen_cfg = runner.GenerateConfig(
+            max_new_tokens=self.cfg.max_new_tokens,
+            eos_token_id=self.tok.eos_token_id)
+        self._generate = jax.jit(
+            lambda p, d: runner.generate_and_drive(p, d, model_cfg, gen_cfg,
+                                                   compute_dtype=compute_dtype))
+        self._drive_only = jax.jit(
+            lambda p, d: runner.drive_only(p, d, model_cfg,
+                                           compute_dtype=compute_dtype))
+
+        self.step_count = 0
+        self.stuck_count = 0
+        self.creep_remaining = 0
+        self.latencies: list = []
+        self.last_control = (0.0, 0.0, False)
+        self.last_language = ""
+
+    # ------------------------------------------------------------------
+    def build_prompt(self, frame: AgentFrame) -> Tuple[str, Dict[str, np.ndarray]]:
+        speed_rounded = round(float(frame.speed), 1)
+        tps = np.stack([frame.target_point, frame.next_target_point]) \
+            .astype(np.float32)
+        placeholder_values = {"<TARGET_POINT>": tps}
+        conditioning = "Target waypoint: <TARGET_POINT><TARGET_POINT>."
+        if self.cfg.use_cot:
+            task = "What should the ego do next?"
+        else:
+            task = "Predict the waypoints."
+        prompt = f"Current speed: {speed_rounded} m/s. {conditioning} {task}"
+        if frame.user_instruction:
+            prompt = f"{frame.user_instruction} {prompt}"
+        return prompt, placeholder_values
+
+    def make_input(self, frame: AgentFrame) -> DrivingInput:
+        import jax.numpy as jnp
+        tiles = preprocess_numpy(frame.rgb, do_bottom_crop=True)   # [2,448,448,3]
+        prompt, placeholder_values = self.build_prompt(frame)
+        n_img = self.model_cfg.vit.tokens_per_patch_image * tiles.shape[0]
+        chat = tokenize_chat(self.tok, prompt, None, n_img)
+        label = batch_language_label(
+            [chat],
+            [{self.tok.convert_tokens_to_ids(k): v
+              for k, v in placeholder_values.items()}],
+            self.tok.pad_token_id, self.max_prompt_len, pad_side="left")
+        return DrivingInput(
+            pixel_values=jnp.asarray(tiles[None]),
+            vehicle_speed=jnp.asarray([frame.speed], jnp.float32),
+            target_point=jnp.asarray(frame.target_point[None], jnp.float32),
+            prompt=label, prompt_inference=label)
+
+    # ------------------------------------------------------------------
+    def run_step(self, frame: AgentFrame) -> Dict[str, Any]:
+        """One simulator tick -> control dict. Latency-instrumented."""
+        t0 = time.perf_counter()
+        self.step_count += 1
+
+        di = self.make_input(frame)
+        if self.cfg.use_cot:
+            out = self._generate(self.params, di)
+        else:
+            out = self._drive_only(self.params, di)
+        route = np.asarray(out.route[0], np.float64)
+        speed_wps = np.asarray(out.speed_wps[0], np.float64)
+        if self.cfg.use_cot:
+            n = int(out.language_lengths[0])
+            self.last_language = self.tok.decode(
+                np.asarray(out.language_tokens[0][:n]))
+
+        steer, throttle, brake = self.controller.control_pid(
+            route, float(frame.speed), speed_wps)
+
+        # stuck detection + creep (reference :881-894)
+        if float(frame.speed) < 0.1:
+            self.stuck_count += 1
+        else:
+            self.stuck_count = 0
+        if self.stuck_count > self.cfg.stuck_threshold:
+            self.creep_remaining = self.cfg.creep_duration
+            self.stuck_count = 0
+        if self.creep_remaining > 0:
+            self.creep_remaining -= 1
+            throttle, brake = self.cfg.creep_throttle, False
+
+        latency = time.perf_counter() - t0
+        self.latencies.append(latency)
+        self.last_control = (steer, throttle, brake)
+        return {
+            "steer": steer, "throttle": throttle, "brake": brake,
+            "route": route, "speed_wps": speed_wps,
+            "language": self.last_language,
+            "latency_s": latency,
+        }
+
+    def latency_stats(self) -> Dict[str, float]:
+        lat = np.asarray(self.latencies[1:] or self.latencies)  # drop compile
+        return {"p50_ms": float(np.percentile(lat, 50) * 1e3),
+                "p90_ms": float(np.percentile(lat, 90) * 1e3),
+                "mean_ms": float(lat.mean() * 1e3)}

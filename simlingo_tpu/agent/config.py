@@ -1,0 +1,44 @@
+"""Closed-loop agent configuration.
+
+Counterpart of reference `team_code/config_simlingo.py` (GlobalConfig):
+controller gains, brake/creep thresholds, camera geometry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+
+@dataclasses.dataclass
+class AgentConfig:
+    eval_route_as: str = "target_point"
+    use_cot: bool = True                 # commentary chain-of-thought per frame
+
+    carla_fps: int = 20
+    stuck_threshold: int = 800
+    creep_duration: int = 15
+    creep_throttle: float = 0.4
+    wp_dilation: int = 1
+    data_save_freq: int = 5
+
+    max_throttle: float = 1.0
+    brake_speed: float = 0.4
+    brake_ratio: float = 1.1
+    clip_delta: float = 1.0
+    clip_throttle: float = 1.0
+
+    # longitudinal PID (config_simlingo.py:41-48)
+    speed_kp: float = 1.75
+    speed_ki: float = 1.0
+    speed_kd: float = 2.0
+    speed_n: int = 20
+
+    # camera (config_simlingo.py:53-62)
+    camera_pos: Tuple[float, float, float] = (-1.5, 0.0, 2.0)
+    camera_rot: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    camera_width: int = 1024
+    camera_height: int = 512
+    camera_fov: int = 110
+
+    max_new_tokens: int = 100

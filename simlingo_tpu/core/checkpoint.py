@@ -1,0 +1,150 @@
+"""Checkpointing: orbax save/restore for sharded train state + HF import.
+
+Counterpart of the reference's checkpoint story (SURVEY.md section 5.4):
+Lightning ModelCheckpoint writing DeepSpeed ZeRO directories + fp32
+consolidation, resume via trainer.fit(ckpt_path=...), inference loading a
+consolidated pytorch_model.pt.
+
+TPU redesign:
+  * orbax writes the (possibly sharded) param/optimizer pytrees directly --
+    no consolidation step needed; restore re-shards to the current mesh;
+  * `load_hf_checkpoint` imports the published torch checkpoints
+    (RenzKa/simlingo's pytorch_model.pt or an InternVL2-1B HF directory,
+    incl. peft-LoRA merge) into our parameter tree;
+  * the data pipeline needs no state: the sampler is a pure function of
+    (seed, step), so `step` alone resumes data order (data/sampler.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def save_checkpoint(ckpt_dir: str, state: Dict[str, Any], step: int,
+                    keep: Optional[int] = None) -> str:
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+    if keep is not None:
+        _gc_checkpoints(ckpt_dir, keep)
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    return os.path.join(ckpt_dir, steps[-1]) if steps else None
+
+
+def restore_checkpoint(path: str, target: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore into the structure/shardings of `target` (an abstract or
+    concrete state pytree)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
+    return ckptr.restore(os.path.abspath(path), abstract)
+
+
+def _gc_checkpoints(ckpt_dir: str, keep: int) -> None:
+    import shutil
+    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    for d in steps[:-keep]:
+        shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# HF / torch import
+# ---------------------------------------------------------------------------
+
+def _load_torch_state_dict(path: str) -> Dict[str, Any]:
+    """Load a torch .pt/.bin/.safetensors file or an HF directory."""
+    if os.path.isdir(path):
+        sd: Dict[str, Any] = {}
+        for fn in sorted(os.listdir(path)):
+            full = os.path.join(path, fn)
+            if fn.endswith(".safetensors"):
+                from safetensors.torch import load_file
+                sd.update(load_file(full))
+            elif fn in ("pytorch_model.bin", "pytorch_model.pt"):
+                import torch
+                sd.update(torch.load(full, map_location="cpu",
+                                     weights_only=True))
+        if not sd:
+            raise FileNotFoundError(f"no weights found in {path}")
+        return sd
+    import torch
+    return torch.load(path, map_location="cpu", weights_only=True)
+
+
+def load_hf_checkpoint(path: str, cfg, lora_merge: bool = True,
+                       lora_alpha: float = 64.0, lora_r: int = 32
+                       ) -> Dict[str, Any]:
+    """torch checkpoint -> simlingo_tpu parameter tree.
+
+    Handles both a raw InternVL2-1B checkpoint and a trained SimLingo
+    checkpoint (DrivingModel state dict with vision_model./language_model./
+    adaptors./wp_encoder. prefixes and peft-wrapped LLM).
+    """
+    from simlingo_tpu.core import hf_convert as C
+
+    sd = _load_torch_state_dict(path)
+    if lora_merge and any(".lora_A." in k for k in sd):
+        sd = C.merge_lora_inplace(sd, alpha=lora_alpha, r=lora_r)
+
+    keys = set(sd.keys())
+
+    def has_prefix(p):
+        return any(k.startswith(p) for k in keys)
+
+    params: Dict[str, Any] = {}
+
+    if has_prefix("vision_model.model.vision_model."):
+        # SimLingo DrivingModel: vision_model.model = InternVLChatModel
+        base = "vision_model.model."
+        params["vision"] = C.vit_from_torch_remote(
+            sd, cfg.vit, prefix=base + "vision_model.")
+        params["vision"]["projector"] = C.projector_from_torch(
+            sd, prefix=base + "mlp1.")
+        llm_prefix = "language_model.model.model."
+        params["llm"] = C.qwen2_from_torch(sd, cfg.llm, prefix=llm_prefix)
+        params["adaptors"] = _adaptors_from_torch(sd, cfg)
+        params["wp_encoder"] = _mlp_stack_from_torch(sd, "wp_encoder.mlp",
+                                                     (0, 2, 4))
+    elif has_prefix("vision_model."):
+        # raw InternVL2 checkpoint (remote-code naming)
+        params["vision"] = C.vit_from_torch_remote(sd, cfg.vit,
+                                                   prefix="vision_model.")
+        params["vision"]["projector"] = C.projector_from_torch(sd, "mlp1.")
+        params["llm"] = C.qwen2_from_torch(sd, cfg.llm,
+                                           prefix="language_model.model.")
+    else:
+        raise ValueError(f"unrecognized checkpoint layout: "
+                         f"{sorted(list(keys))[:5]} ...")
+    return params
+
+
+def _mlp_stack_from_torch(sd, prefix: str, layer_indices) -> Dict[str, Any]:
+    from simlingo_tpu.core.hf_convert import _linear
+    return {f"l{i}": _linear(sd, f"{prefix}.{idx}")
+            for i, idx in enumerate(layer_indices)}
+
+
+def _adaptors_from_torch(sd, cfg) -> Dict[str, Any]:
+    from simlingo_tpu.core.hf_convert import _t
+    p: Dict[str, Any] = {}
+    if "adaptors.driving.query_embeds_wps" in sd:
+        p["route_queries"] = _t(sd["adaptors.driving.query_embeds_wps"])
+        p["route_head"] = _mlp_stack_from_torch(
+            sd, "adaptors.driving.route_head", (0, 2, 4))
+    p["speed_queries"] = _t(sd["adaptors.driving.query_embeds_speed"])
+    p["speed_head"] = _mlp_stack_from_torch(
+        sd, "adaptors.driving.speed_wps_head", (0, 2))
+    return p

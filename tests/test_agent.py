@@ -1,0 +1,101 @@
+"""Agent: controllers, UKF, and the full replay loop with a tiny model."""
+
+import numpy as np
+import pytest
+
+from simlingo_tpu.agent.config import AgentConfig
+from simlingo_tpu.agent.controllers import (LateralPIDController,
+                                            PIDController, VehicleController,
+                                            interpolate_waypoints)
+from simlingo_tpu.agent.ukf import EgoUKF, bicycle_model_forward
+
+
+def test_longitudinal_pid_brake_rules():
+    cfg = AgentConfig()
+    ctrl = VehicleController(cfg)
+    # straight route, healthy speed waypoints (5 m/s => 1.25 m spacing)
+    route = np.stack([np.arange(1, 21), np.zeros(20)], 1)
+    speed_wps = np.stack([1.25 * np.arange(1, 11), np.zeros(10)], 1)
+    steer, throttle, brake = ctrl.control_pid(route, 4.0, speed_wps)
+    assert not brake and throttle > 0 and abs(steer) < 0.05
+
+    # stopped waypoints -> desired speed ~0 -> brake
+    stop_wps = np.zeros((10, 2))
+    _, throttle, brake = ctrl.control_pid(route, 4.0, stop_wps)
+    assert brake and throttle == 0.0
+
+    # overspeed: current speed far above desired -> brake
+    _, _, brake = ctrl.control_pid(route, 12.0, speed_wps)
+    assert brake
+
+
+def test_lateral_pid_steers_toward_route():
+    ctrl = LateralPIDController(inference_mode=True)
+    left = np.stack([np.arange(0.1, 20, 0.1),
+                     0.3 * np.arange(0.1, 20, 0.1)], 1)
+    right = np.stack([np.arange(0.1, 20, 0.1),
+                      -0.3 * np.arange(0.1, 20, 0.1)], 1)
+    assert ctrl.step(left, 5.0) > 0.05
+    ctrl.reset()
+    assert ctrl.step(right, 5.0) < -0.05
+
+
+def test_interpolate_waypoints_spacing():
+    wps = np.stack([np.arange(1.0, 11.0), np.zeros(10)], 1)
+    pts = interpolate_waypoints(wps)
+    d = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    np.testing.assert_allclose(d, 0.1, atol=0.01)
+
+
+def test_ukf_tracks_straight_drive():
+    ukf = EgoUKF(dt=0.05)
+    ukf.init_state(np.array([0.0, 0.0, 0.0, 5.0]))
+    rng = np.random.RandomState(0)
+    x_true = np.array([0.0, 0.0, 0.0, 5.0])
+    for _ in range(50):
+        x_true = bicycle_model_forward(x_true, 0.05, 0.0, 0.5, False)
+        z = x_true + np.array([rng.randn() * 0.3, rng.randn() * 0.3, 0, 0])
+        ukf.predict(0.0, 0.5, False)
+        ukf.update(z)
+    err = np.linalg.norm(ukf.x[:2] - x_true[:2])
+    assert err < 0.5, (ukf.x, x_true)
+    assert abs(ukf.x[3] - x_true[3]) < 0.3
+
+
+def test_agent_replay_end_to_end(tmp_path):
+    """Full agent loop (tiny model, CoT decode) over a synthetic route."""
+    import jax
+    from tests.test_data_pipeline import _write_route
+    from simlingo_tpu.agent.agent import LingoAgent
+    from simlingo_tpu.agent.replay import replay_route
+    from simlingo_tpu.data.tokenizer import SimLingoTokenizer
+    from simlingo_tpu.models import simlingo
+    from simlingo_tpu.models.qwen2 import Qwen2Config
+    from simlingo_tpu.models.simlingo import SimLingoConfig
+    from simlingo_tpu.models.vit import ViTConfig
+
+    route_dir = _write_route(str(tmp_path), "v1/b0/routes_training/Town12_t",
+                             n_frames=14)
+    tok = SimLingoTokenizer()
+    cfg = SimLingoConfig(
+        vit=ViTConfig(hidden_size=64, num_layers=2, num_heads=4,
+                      intermediate_size=128, image_size=448, patch_size=56,
+                      projector_out=64),
+        llm=Qwen2Config.tiny(vocab_size=tok.tk.vocab_size + 8),
+        img_context_token_id=tok.img_context_id,
+        remat_vision=False, remat_llm=False)
+    params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
+
+    import jax.numpy as jnp
+    acfg = AgentConfig(use_cot=True, max_new_tokens=4)
+    agent = LingoAgent(params, cfg, acfg, tokenizer=tok,
+                       max_prompt_len=256, compute_dtype=jnp.float32)
+    results = replay_route(agent, route_dir, max_frames=3, start_frame=5)
+    assert len(results) == 3
+    for r in results:
+        assert -1 <= r["steer"] <= 1
+        assert 0 <= r["throttle"] <= 1
+        assert r["route"].shape == (20, 2)
+        assert np.isfinite(r["route"]).all()
+    stats = agent.latency_stats()
+    assert stats["p50_ms"] > 0

@@ -1,0 +1,73 @@
+"""Eval metrics + dreamer success rules."""
+
+import numpy as np
+
+from simlingo_tpu.eval import dreamer_rules as D
+from simlingo_tpu.eval import metrics as M
+
+
+def test_exact_and_bleu_perfect():
+    preds = ["the car stops", "turn left now"]
+    out = M.evaluation_suite(preds, preds)
+    assert out["accuracy"] == 1.0
+    assert abs(out["bleu_1"] - 1.0) < 1e-9
+    assert abs(out["rouge_l"] - 1.0) < 1e-9
+    assert out["cider"] > 5.0
+
+
+def test_metrics_degrade_with_mismatch():
+    refs = ["the red car stops at the light", "the ego turns left"]
+    good = ["the red car stops at the light", "the ego turns left now"]
+    bad = ["banana banana banana", "completely unrelated words here"]
+    mg = M.evaluation_suite(good, refs)
+    mb = M.evaluation_suite(bad, refs)
+    assert mg["bleu_4"] > mb["bleu_4"]
+    assert mg["rouge_l"] > mb["rouge_l"]
+    assert mg["cider"] > mb["cider"]
+
+
+def _wps(speed, n=10, decel=0.0):
+    """Waypoints of a vehicle at `speed` m/s with optional decel m/s^2."""
+    t = np.arange(1, n + 1) * 0.25
+    v = np.maximum(speed + decel * t, 0.0)
+    x = np.cumsum(v * 0.25)
+    return np.stack([x, np.zeros(n)], 1)
+
+
+def test_dreamer_rules():
+    org_wps = _wps(5.0)
+    org_route = np.stack([np.arange(1, 21), np.zeros(20)], 1)
+    new_route = np.stack([np.arange(1, 21), np.full(20, 3.5)], 1)  # lane change
+
+    # stop
+    assert D.evaluate_sample("stop", _wps(0.0), org_route, org_wps, org_route,
+                             org_wps, org_route, 5.0) is True
+    assert D.evaluate_sample("stop", _wps(5.0), org_route, org_wps, org_route,
+                             org_wps, org_route, 5.0) is False
+    # slower / faster
+    assert D.evaluate_sample("slower", _wps(5.0, decel=-1.5), org_route,
+                             org_wps, org_route, org_wps, org_route, 5.0)
+    assert not D.evaluate_sample("slower", _wps(5.0), org_route, org_wps,
+                                 org_route, org_wps, org_route, 5.0)
+    assert D.evaluate_sample("faster", _wps(5.0, decel=1.5), org_route,
+                             org_wps, org_route, org_wps, org_route, 5.0)
+    # lane change: predicted route near the instructed lane
+    pred_route = np.stack([np.arange(1, 21), np.full(20, 3.0)], 1)
+    assert D.evaluate_sample("lane_change", org_wps, pred_route, org_wps,
+                             org_route, org_wps, new_route, 5.0)
+    assert not D.evaluate_sample("lane_change", org_wps, org_route, org_wps,
+                                 org_route, org_wps, new_route, 5.0)
+    # target speed
+    tgt = _wps(8.0)
+    assert D.evaluate_sample("target_speed", _wps(8.0), org_route, org_wps,
+                             org_route, tgt, org_route, 5.0)
+    assert not D.evaluate_sample("target_speed", _wps(2.0), org_route,
+                                 org_wps, org_route, tgt, org_route, 5.0)
+
+    agg = D.aggregate([
+        {"mode": "stop", "success": True, "allowed": True},
+        {"mode": "stop", "success": False, "allowed": True},
+        {"mode": "faster", "success": True, "allowed": True},
+    ])
+    assert abs(agg["success_rate_total"] - 2 / 3) < 1e-9
+    assert agg["success_rate_stop"] == 0.5
