@@ -418,28 +418,42 @@ def get_attention_impl() -> str:
 
 
 def _attention_bundled(q, k, v, kv_valid, causal, scale, q_offset):
+    """Adapter over jax's bundled TPU flash kernel (fwd+bwd).
+
+    Covers the full training case: causal or not, GQA (kv heads expanded),
+    arbitrary lengths (padded to 128 with pad-segment masking; pad q rows
+    share the pad segment so their softmax stays finite and their dk/dv
+    contribution is exactly zero under zero cotangents).
+    """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, SegmentIds)
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         flash_attention as jax_fa)
     B, T, HQ, D = q.shape
     _, S, HK, _ = k.shape
-    assert T == S, "bundled impl only supports the training case (T == S)"
+    assert T == S, "bundled impl covers the training case (T == S)"
     group = HQ // HK
-    qt = q.transpose(0, 2, 1, 3)
-    kt = jnp.repeat(k.transpose(0, 2, 1, 3), group, axis=1)
-    vt = jnp.repeat(v.transpose(0, 2, 1, 3), group, axis=1)
-    seg = None
-    if kv_valid is not None:
-        kv_seg = kv_valid.astype(jnp.int32)
-        q_seg = jnp.ones((B, T), jnp.int32)
-        seg = SegmentIds(q=q_seg, kv=kv_seg)
-    out = jax_fa(qt, kt, vt, segment_ids=seg, causal=causal,
-                 sm_scale=scale if scale is not None else D ** -0.5)
-    # rows whose own key slot is invalid attended nothing real; their output
-    # is garbage but masked downstream (loss mask / validity) -- same
-    # contract as our kernel except we do not zero them here.
-    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+    Tp = -(-T // 128) * 128
+    qt = _pad_to(q.transpose(0, 2, 1, 3), 2, 128)
+    kt = _pad_to(jnp.repeat(k.transpose(0, 2, 1, 3), group, axis=1), 2, 128)
+    vt = _pad_to(jnp.repeat(v.transpose(0, 2, 1, 3), group, axis=1), 2, 128)
+    if kv_valid is None:
+        seg = jnp.ones((B, T), jnp.int32)
+    else:
+        seg = kv_valid.astype(jnp.int32)
+    seg = _pad_to(seg, 1, 128)          # pads get segment 0
+    segs = SegmentIds(q=seg, kv=seg)
+    blk = min(512, Tp)
+    block_sizes = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk,
+        block_k_dkv=blk, block_q_dkv=blk,
+        block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+    )
+    out = jax_fa(qt, kt, vt, segment_ids=segs, causal=causal,
+                 sm_scale=scale if scale is not None else D ** -0.5,
+                 block_sizes=block_sizes)
+    return out[:, :, :T].transpose(0, 2, 1, 3).astype(q.dtype)
 
 
 def attention(
@@ -461,7 +475,8 @@ def attention(
         impl = "pallas"
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "bundled" and (q.shape[1] != k.shape[1] or not causal):
+    if impl == "bundled" and q.shape[1] != k.shape[1]:
+        # decode / query-forward (T != S): fwd-only, our Pallas kernel works
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "hybrid" and not (q_offset is None or isinstance(q_offset, int)):
         impl = "pallas"  # dynamic offset => inference path, fwd-only

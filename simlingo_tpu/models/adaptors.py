@@ -31,6 +31,41 @@ NUM_SPEED_QUERIES = 10
 IGNORE_INDEX = -1
 
 
+def norm_zero_one(x: jnp.ndarray, min_max: Tuple[float, float]) -> jnp.ndarray:
+    """Min-max normalize to [0, 1] (reference NormZeroOne, adaptors.py:37-44)."""
+    return (x - min_max[0]) / (min_max[1] - min_max[0])
+
+
+def init_vector_adaptor(key, input_size: int, token_size: int,
+                        hidden_size: int = 256, dtype=jnp.float32):
+    """Scalar/vector -> one token. Reference base VectorInputAdaptor
+    (simlingo_base_training/models/adaptors/adaptors.py:75-111):
+    Linear(in, hidden) -> ReLU -> Linear(hidden, token)."""
+    return L.mlp_stack_init(key, [input_size, hidden_size, token_size],
+                            dtype=dtype)
+
+
+def vector_encode(p, x: jnp.ndarray,
+                  min_max: Optional[Tuple[float, float]] = None) -> jnp.ndarray:
+    """[B, input_size] -> [B, 1, token]."""
+    if min_max is not None:
+        x = norm_zero_one(x, min_max)
+    return L.mlp_stack(p, x, jax.nn.relu)[:, None, :]
+
+
+def init_wp_adaptor_base(key, token_size: int, hidden_size: int = 256,
+                         dtype=jnp.float32):
+    """Base-model waypoint/target-point token encoder (2 -> hidden -> token)."""
+    return L.mlp_stack_init(key, [2, hidden_size, token_size], dtype=dtype)
+
+
+def wp_encode_base(p, coords: jnp.ndarray,
+                   min_max: Optional[Tuple[float, float]] = None) -> jnp.ndarray:
+    if min_max is not None:
+        coords = norm_zero_one(coords, min_max)
+    return L.mlp_stack(p, coords, jax.nn.relu)
+
+
 def init_driving_adaptor(key, hidden_size: int, mlp_dim: int = 256,
                          speed_wps_mode: str = "2d",
                          predict_route_as_wps: bool = True,

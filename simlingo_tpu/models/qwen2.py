@@ -46,6 +46,7 @@ class Qwen2Config:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 1e6
     tie_word_embeddings: bool = True
+    qkv_bias: bool = True              # Qwen2 yes; LLaMA-family no
     # LoRA (None => disabled)
     lora_r: int = 0
     lora_alpha: int = 0
@@ -79,9 +80,9 @@ def init_params(key, cfg: Qwen2Config, dtype=jnp.float32) -> Dict[str, Any]:
             "ln1": L.rmsnorm_init(H, dtype),
             "ln2": L.rmsnorm_init(H, dtype),
             "attn": {
-                "q": L.linear_init(k[0], H, cfg.num_heads * D, True, dtype),
-                "k": L.linear_init(k[1], H, cfg.num_kv_heads * D, True, dtype),
-                "v": L.linear_init(k[2], H, cfg.num_kv_heads * D, True, dtype),
+                "q": L.linear_init(k[0], H, cfg.num_heads * D, cfg.qkv_bias, dtype),
+                "k": L.linear_init(k[1], H, cfg.num_kv_heads * D, cfg.qkv_bias, dtype),
+                "v": L.linear_init(k[2], H, cfg.num_kv_heads * D, cfg.qkv_bias, dtype),
                 "o": L.linear_init(k[3], cfg.num_heads * D, H, False, dtype),
             },
             "mlp": L.swiglu_mlp_init(k[4], H, cfg.intermediate_size, dtype),
