@@ -68,8 +68,11 @@ class DreamerDataset(DrivingDataset):
             self._navigational_conditioning(current, target_point,
                                             next_target_point, rng)
 
-        alt_path = cur_path.replace("measurements", "dreamer") \
-                           .replace("data/", f"{cfg.dreamer_folder}/")
+        alt_path = cur_path.replace("measurements", cfg.dreamer_folder) \
+                           .replace("/data/", f"/{cfg.dreamer_folder}/")
+        if not os.path.isfile(alt_path):
+            # in-route layout: route_dir/dreamer/NNNN.json.gz
+            alt_path = cur_path.replace("measurements", cfg.dreamer_folder)
         alternatives = M.read_json_gz(alt_path)
         options = []
         for key, option in alternatives.items():

@@ -122,8 +122,11 @@ class DrivingDataset:
 
     # ------------------------------------------------------------------
     def _commentary(self, measurement_path: str, rng) -> Tuple[bool, str]:
+        # parallel tree (reference layout) or in-route commentary/ dir
         path = measurement_path.replace("measurements", "commentary") \
-                               .replace("data/", "commentary/")
+                               .replace("/data/", "/commentary/")
+        if not os.path.isfile(path):
+            path = measurement_path.replace("measurements", "commentary")
         if "validation_" in path or not os.path.isfile(path):
             return False, ""
         try:
@@ -145,8 +148,11 @@ class DrivingDataset:
 
     def _qa(self, measurement_path: str, rng
             ) -> Tuple[bool, str, str, Optional[Tuple[str, str]]]:
+        # parallel tree (reference layout) or in-route vqa/ dir
         path = measurement_path.replace("measurements", "vqa") \
-                               .replace("data/", "drivelm/")
+                               .replace("/data/", "/drivelm/")
+        if not os.path.isfile(path):
+            path = measurement_path.replace("measurements", "vqa")
         if "validation_" in path or not os.path.isfile(path):
             return False, "", "", None
         try:

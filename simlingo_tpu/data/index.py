@@ -131,8 +131,11 @@ def build_index(data_root: str, split: str = "train",
 
     for route_dir in routes:
         if dreamer:
-            ddir = route_dir.replace("data/", f"{dreamer_folder}/")
-            if not os.path.exists(ddir):
+            # parallel tree (<root>/<dreamer_folder>/... mirroring /data/,
+            # reference dataset_base.py:228) or in-route route_dir/dreamer/
+            ddir = route_dir.replace("/data/", f"/{dreamer_folder}/")
+            if not (os.path.exists(ddir)
+                    or os.path.isdir(os.path.join(route_dir, dreamer_folder))):
                 continue
         if filter_infractions and not route_passes_quality_gate(route_dir):
             continue

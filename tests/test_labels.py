@@ -1,0 +1,142 @@
+"""Label generation: buckets, commentary, VQA, dreamer -- end-to-end with the
+training datasets consuming the generated files."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_data_pipeline import _write_route
+from simlingo_tpu.labels import buckets, commentary, dreamer_gen, vqa
+
+
+@pytest.fixture(scope="module")
+def route(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("lbl"))
+    rd = _write_route(root, "v1/b0/routes_training/Town12_l", n_frames=30)
+    return root, rd
+
+
+def test_bucket_classification():
+    m = {"speed": 0.2, "target_speed": 5.0, "speed_limit": 30,
+         "light_hazard": True, "junction": True, "brake": True,
+         "changed_route": False, "speed_reduced_by_obj_type": "vehicle.car",
+         "speed_reduced_by_obj_distance": 8.0}
+    wps = np.stack([np.arange(1, 11) * 0.5, np.full(10, 0.05)], 1)
+    names = buckets.classify_frame(m, wps, future_speeds=[0.2, 1, 2, 3, 4])
+    assert "start_from_stop" in names
+    assert "red_light" in names
+    assert "junction" in names
+    assert "brake" in names
+    assert "leading_object_vehicle" in names
+    assert any(n.startswith("target_speed_") for n in names)
+    assert any(n.startswith("lateral_control_") for n in names)
+    assert any(n.startswith("acceleration_") for n in names)
+
+
+def test_bucket_generation_writes_pkl(route):
+    root, rd = route
+    out = os.path.join(root, "bucketsv2")
+    stats = buckets.generate_buckets(root, out, splits=("train",))
+    assert os.path.isfile(os.path.join(out, "buckets_paths.pkl"))
+    assert sum(stats.values()) > 0
+
+
+def test_commentary_generator(route):
+    root, rd = route
+    gen = commentary.CommentaryGenerator()
+    rec = gen.generate({"speed": 5.0, "target_speed": 5.1, "command": 4,
+                        "speed_limit": 8.0})
+    assert "maintains" in rec["commentary"]
+    rec2 = gen.generate({"speed": 5.0, "target_speed": 0.0, "command": 1,
+                         "light_hazard": True})
+    assert "stops" in rec2["commentary"]
+    assert "red traffic light" in rec2["commentary"]
+    assert "turns left" in rec2["commentary"]
+    # object placeholder template
+    rec3 = gen.generate({"speed": 5.0, "target_speed": 2.0, "command": 4,
+                         "speed_reduced_by_obj_type": "walker.pedestrian.01",
+                         "speed_reduced_by_obj_distance": 7.5})
+    assert "<OBJECT>" in rec3["commentary_template"]
+    assert rec3["placeholder"]["<OBJECT>"] in rec3["commentary"]
+
+    n = commentary.generate_route_commentary(rd)
+    assert n == 30
+    with gzip.open(os.path.join(rd, "commentary", "0005.json.gz"), "rt") as f:
+        rec = json.load(f)
+    assert "commentary" in rec and "commentary_template" in rec
+
+
+def test_vqa_generator(route):
+    root, rd = route
+    boxes = [{"class": "vehicle", "position": [8.0, 0.5, 0.0],
+              "color_name": "red", "speed": 3.0, "yaw": 0.0},
+             {"class": "walker", "position": [5.0, -4.0, 0.0]}]
+    rec = vqa.generate_vqa(
+        {"speed": 3.0, "target_speed": 0.0, "brake": True,
+         "light_hazard": True, "junction": False, "command": 4}, boxes)
+    flat = [qa for sub in rec["QA"].values() for qa in sub]
+    answers = " ".join(q["A"] for q in flat)
+    assert "red vehicle" in answers
+    assert "red traffic light" in answers
+    assert len(rec["key_object_infos"]) == 2
+    n = vqa.generate_route_vqa(rd)
+    assert n == 30
+
+
+def test_dreamer_generator_and_dataset_roundtrip(route):
+    root, rd = route
+    n = dreamer_gen.generate_route_dreamer(rd)
+    assert n == 30
+
+    # options well-formed
+    from simlingo_tpu.data.measurements import read_json_gz
+    alts = read_json_gz(os.path.join(rd, "dreamer", "0010.json.gz"))
+    assert set(alts) >= {"faster", "slower", "stop", "target_speed",
+                         "lane_change_left", "lane_change_right"}
+    stop = alts["stop"][0]
+    wps = np.asarray(stop["waypoints"])
+    seg = np.linalg.norm(np.diff(np.vstack([[0, 0], wps]), axis=0), axis=1)
+    assert seg[-1] < seg[0] + 1e-6  # decelerating
+    lc = np.asarray(alts["lane_change_left"][0]["route"])
+    assert abs(lc[-1][1] - (-3.5)) < 1.0
+
+    # DreamerDataset consumes the generated files
+    from simlingo_tpu.data.dreamer_dataset import (DreamerDataset,
+                                                   DreamerDatasetConfig)
+    ds = DreamerDataset(DreamerDatasetConfig(
+        data_root=root, split="train", use_town13=False,
+        route_as="target_point", image_size=56, max_num_grid=2,
+        use_commentary=False, use_qa=False))
+    assert len(ds) > 0
+    s = ds.get(0, np.random.RandomState(0))
+    assert s.dataset == "dreamer"
+    assert s.question.startswith(("<SAFETY>", "<INSTRUCTION_FOLLOWING>"))
+    assert s.waypoints.shape[1] == 2
+    assert s.eval_infos["mode"] in ("faster", "slower", "stop",
+                                    "target_speed", "lane_change_left",
+                                    "lane_change_right", "crash")
+
+
+def test_driving_dataset_uses_generated_qa_and_commentary(route):
+    root, rd = route
+    from simlingo_tpu.data.driving_dataset import (DrivingDataset,
+                                                   DrivingDatasetConfig)
+    ds = DrivingDataset(DrivingDatasetConfig(
+        data_root=root, split="train", use_town13=False,
+        route_as="target_point", image_size=56, max_num_grid=2,
+        use_commentary=True, use_qa=True, commentary_augmentation=False,
+        qa_augmentation=False, img_shift_augmentation=False))
+    rng = np.random.RandomState(1)
+    kinds = set()
+    for i in range(30):
+        s = ds.get(i % len(ds), rng)
+        if "Q:" in s.question:
+            kinds.add("qa")
+        elif "What should the ego do next?" in s.question:
+            kinds.add("commentary")
+        else:
+            kinds.add("driving")
+    assert "qa" in kinds and "commentary" in kinds
