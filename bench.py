@@ -23,6 +23,64 @@ import time
 BASELINE_SAMPLES_PER_SEC = 10.0
 
 
+def latency_bench():
+    """p50 per-frame action latency (closed-loop agent path), batch 1.
+
+    Reports both modes: action-only (no language; reference
+    predict_language=False path) and CoT (commentary generation per frame --
+    the reference's production eval setting, but with a KV cache instead of
+    the reference's quadratic re-forward).
+    """
+    os.environ.setdefault("SIMLINGO_ATTN_IMPL", "pallas")  # fwd-only paths
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from simlingo_tpu.core import presets
+    from simlingo_tpu.data.synthetic import synthetic_example
+    from simlingo_tpu.infer import runner
+    from simlingo_tpu.models import simlingo
+
+    cfg = presets.internvl2_1b(lora=False)
+    params = simlingo.init_params(jax.random.PRNGKey(0), cfg,
+                                  dtype=jnp.bfloat16)
+    max_new = int(os.environ.get("BENCH_MAX_NEW_TOKENS", "32"))
+    ex = synthetic_example(cfg, batch=1, seq_len=640, num_patches=2,
+                           seed=0, left_pad=True)
+    di = ex.driving_input
+
+    drive = jax.jit(lambda p, d: runner.drive_only(p, d, cfg,
+                                                   compute_dtype=jnp.bfloat16))
+    gen_cfg = runner.GenerateConfig(max_new_tokens=max_new,
+                                    eos_token_id=-1)  # never stops: worst case
+    gen = jax.jit(lambda p, d: runner.generate_and_drive(
+        p, d, cfg, gen_cfg, compute_dtype=jnp.bfloat16))
+
+    def timed(fn, n=20):
+        out = fn(params, di)
+        float(jax.device_get(out.route.sum()))          # compile + sync
+        lats = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = fn(params, di)
+            float(jax.device_get(out.route.sum()))      # readback barrier
+            lats.append(time.perf_counter() - t0)
+        import numpy as np
+        return float(np.percentile(lats, 50) * 1e3)
+
+    p50_action = timed(drive)
+    p50_cot = timed(gen, n=8)
+    print(json.dumps({
+        "metric": "p50_action_latency_ms",
+        "value": round(p50_action, 2),
+        "unit": "ms",
+        "vs_baseline": round(50.0 / max(p50_action, 1e-9), 3),
+        "cot_p50_ms": round(p50_cot, 2),
+        "cot_tokens": max_new,
+    }))
+
+
 def main():
     # Training attention: Pallas forward + XLA-recompute backward ("hybrid").
     # The fully-fused Pallas backward passes interpret-mode and standalone
@@ -86,4 +144,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE") == "latency":
+        latency_bench()
+    else:
+        main()

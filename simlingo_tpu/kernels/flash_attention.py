@@ -443,7 +443,8 @@ def _attention_bundled(q, k, v, kv_valid, causal, scale, q_offset):
         seg = kv_valid.astype(jnp.int32)
     seg = _pad_to(seg, 1, 128)          # pads get segment 0
     segs = SegmentIds(q=seg, kv=seg)
-    blk = min(512, Tp)
+    # largest multiple of 128 that divides the padded length, capped at 512
+    blk = max(m for m in range(128, min(512, Tp) + 1, 128) if Tp % m == 0)
     block_sizes = BlockSizes(
         block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
         block_q_major_dkv=blk, block_k_major_dkv=blk,
