@@ -167,6 +167,43 @@ def driving_loss(p: Dict[str, Any], query_features: jnp.ndarray,
     return losses, preds
 
 
+def gather_answer_states(hidden: jnp.ndarray, ids: jnp.ndarray,
+                         loss_mask: jnp.ndarray, max_answer_len: int
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Gather the hidden states that predict answer tokens.
+
+    The chat template guarantees the loss region (assistant answer + final
+    sep) is CONTIGUOUS (data/prompts.py), so per sample we slice
+    [start-1, start-1+max_answer_len) where start is the first masked slot.
+    This shrinks the 151k-vocab lm_head matmul + CE from T to max_answer_len
+    positions (~6x fewer FLOPs, ~6x less logits memory at T=768).
+
+    Returns (hidden_g [B, A, H], labels [B, A], valid [B, A]).
+    """
+    B, T, H = hidden.shape
+    n_ans = loss_mask.sum(axis=1)                                 # [B]
+    start = jnp.argmax(loss_mask, axis=1).astype(jnp.int32)       # first True
+    offs = jnp.arange(max_answer_len, dtype=jnp.int32)[None, :]
+    pred_idx = jnp.clip(start[:, None] - 1 + offs, 0, T - 1)      # [B, A]
+    label_idx = jnp.clip(start[:, None] + offs, 0, T - 1)
+    valid = offs < n_ans[:, None]
+    hidden_g = jnp.take_along_axis(hidden, pred_idx[..., None], axis=1)
+    labels = jnp.take_along_axis(ids, label_idx, axis=1)
+    return hidden_g, labels, valid
+
+
+def language_loss_gathered(hidden_g: jnp.ndarray, labels: jnp.ndarray,
+                           valid: jnp.ndarray, logits_fn
+                           ) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """CE over gathered answer positions (same semantics as language_loss)."""
+    logits = logits_fn(hidden_g).astype(jnp.float32)              # [B, A, V]
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(
+        logits, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    ce = jnp.where(valid, logz - gold, 0.0)
+    return {"language_loss": (ce, valid)}
+
+
 def language_loss(logits: jnp.ndarray, ids: jnp.ndarray,
                   loss_mask: jnp.ndarray
                   ) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:

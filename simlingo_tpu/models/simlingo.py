@@ -42,6 +42,8 @@ class SimLingoConfig:
     freeze_vision: bool = False          # reference trains mlp1, freezes ViT optionally
     remat_vision: bool = True
     remat_llm: bool = True
+    # CE computed on gathered (contiguous) answer positions; 0 => full-seq CE
+    max_answer_len: int = 160
 
     @property
     def num_queries(self) -> int:
@@ -169,8 +171,15 @@ def forward_loss(params: Dict[str, Any], example: DrivingExample,
     text_h = hidden[:, :T]
     query_h = hidden[:, T:]
 
-    logits = qwen2.logits_from_hidden(params["llm"], text_h, cfg.llm)
-    losses = A.language_loss(logits, label.ids, label.loss_mask)
+    if cfg.max_answer_len > 0:
+        hg, labels_g, valid_g = A.gather_answer_states(
+            text_h, label.ids, label.loss_mask, cfg.max_answer_len)
+        losses = A.language_loss_gathered(
+            hg, labels_g, valid_g,
+            lambda h: qwen2.logits_from_hidden(params["llm"], h, cfg.llm))
+    else:
+        logits = qwen2.logits_from_hidden(params["llm"], text_h, cfg.llm)
+        losses = A.language_loss(logits, label.ids, label.loss_mask)
 
     dl = example.driving_label
     route_label = dl.path if cfg.predict_route_as_wps else None

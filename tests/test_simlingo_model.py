@@ -101,3 +101,20 @@ def test_left_pad_equals_right_pad():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(pr["route"]), np.asarray(pl_["route"]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_gathered_ce_equals_full_ce():
+    """max_answer_len gathered CE must equal the full-sequence CE."""
+    import dataclasses
+    cfg_full = dataclasses.replace(SimLingoConfig.tiny(), max_answer_len=0)
+    cfg_gather = dataclasses.replace(SimLingoConfig.tiny(), max_answer_len=48)
+    params = simlingo.init_params(jax.random.PRNGKey(0), cfg_full)
+    ex = synthetic_example(cfg_full, batch=3, seq_len=96, num_patches=1,
+                           seed=11)
+    out_f, _ = simlingo.forward_loss(params, ex, cfg_full)
+    out_g, _ = simlingo.forward_loss(params, ex, cfg_gather)
+    np.testing.assert_allclose(
+        float(out_f.loss_averages["language_loss"]),
+        float(out_g.loss_averages["language_loss"]), rtol=1e-5)
+    assert int(out_f.loss_counts["language_loss"]) \
+        == int(out_g.loss_counts["language_loss"])
