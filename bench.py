@@ -101,7 +101,10 @@ def main():
     seq_len = int(os.environ.get("BENCH_SEQ", "768"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
 
+    import dataclasses
     cfg = presets.internvl2_1b(lora=True)
+    if os.environ.get("BENCH_REMAT", "1") == "0":
+        cfg = dataclasses.replace(cfg, remat_vision=False, remat_llm=False)
     params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
     mask = ts.trainable_mask(params, ts.production_trainable)
     opt = ts.make_masked_optimizer(

@@ -24,7 +24,6 @@ from simlingo_tpu.agent.config import AgentConfig
 from simlingo_tpu.agent.controllers import VehicleController
 from simlingo_tpu.agent.ukf import EgoUKF
 from simlingo_tpu.core.structs import DrivingInput
-from simlingo_tpu.data.image_pipe import preprocess_numpy
 from simlingo_tpu.data.prompts import batch_language_label, tokenize_chat
 from simlingo_tpu.data.tokenizer import SimLingoTokenizer
 from simlingo_tpu.models.simlingo import SimLingoConfig
@@ -64,12 +63,28 @@ class LingoAgent:
         gen_cfg = runner.GenerateConfig(
             max_new_tokens=self.cfg.max_new_tokens,
             eos_token_id=self.tok.eos_token_id)
-        self._generate = jax.jit(
+
+        # Device-side preprocessing: raw uint8 frames go to the TPU and
+        # crop/resize/normalize/tile fuse into the inference program
+        # (north-star fused-preprocessing path; reference does this on CPU
+        # with PIL/torchvision, internvl2_utils.py:179-267 + agent tick).
+        from simlingo_tpu.data.image_pipe import preprocess_device
+
+        def _with_device_preprocess(fn):
+            def wrapped(p, d):
+                raw = d.pixel_values                      # [B, H, W, 3] uint8
+                tiles = preprocess_device(
+                    raw, image_size=model_cfg.vit.image_size,
+                    grid=(2, 1), do_bottom_crop=True).astype(compute_dtype)
+                return fn(p, d.replace(pixel_values=tiles))
+            return wrapped
+
+        self._generate = jax.jit(_with_device_preprocess(
             lambda p, d: runner.generate_and_drive(p, d, model_cfg, gen_cfg,
-                                                   compute_dtype=compute_dtype))
-        self._drive_only = jax.jit(
+                                                   compute_dtype=compute_dtype)))
+        self._drive_only = jax.jit(_with_device_preprocess(
             lambda p, d: runner.drive_only(p, d, model_cfg,
-                                           compute_dtype=compute_dtype))
+                                           compute_dtype=compute_dtype)))
 
         self.step_count = 0
         self.stuck_count = 0
@@ -96,17 +111,18 @@ class LingoAgent:
 
     def make_input(self, frame: AgentFrame) -> DrivingInput:
         import jax.numpy as jnp
-        tiles = preprocess_numpy(frame.rgb, do_bottom_crop=True)   # [2,448,448,3]
         prompt, placeholder_values = self.build_prompt(frame)
-        n_img = self.model_cfg.vit.tokens_per_patch_image * tiles.shape[0]
+        n_img = self.model_cfg.vit.tokens_per_patch_image * 2
         chat = tokenize_chat(self.tok, prompt, None, n_img)
         label = batch_language_label(
             [chat],
             [{self.tok.convert_tokens_to_ids(k): v
               for k, v in placeholder_values.items()}],
             self.tok.pad_token_id, self.max_prompt_len, pad_side="left")
+        # raw uint8 frame; tiling/normalization happen on-device (see jit
+        # wrappers in __init__)
         return DrivingInput(
-            pixel_values=jnp.asarray(tiles[None]),
+            pixel_values=jnp.asarray(frame.rgb[None]),
             vehicle_speed=jnp.asarray([frame.speed], jnp.float32),
             target_point=jnp.asarray(frame.target_point[None], jnp.float32),
             prompt=label, prompt_inference=label)
