@@ -1,0 +1,121 @@
+"""Dataset hygiene + route tooling.
+
+Behavioral counterparts of reference `dataset_generation/*.py` utilities
+(SURVEY.md section 2.7 "Route tooling" and section 4.6):
+  * find/delete failed runs (missing or crashed results.json.gz)
+    <- delete_failed_runs.py
+  * find/delete routes with penalized infractions <- delete_infraction_routes.py
+  * find defective label files (unreadable json.gz) <- delete_defect_jsons.py,
+    tools/filter_broken_files.py
+  * duplicate-route detection by route content hash
+    <- filter_duplicate_routes.py
+  * scenario-type balance report <- balance_scenarios.py
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import hashlib
+import json
+import os
+import shutil
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from simlingo_tpu.data.index import route_passes_quality_gate
+
+
+def _route_dirs(data_root: str) -> List[str]:
+    return sorted(glob.glob(os.path.join(data_root, "data", "simlingo",
+                                         "*", "*", "*", "Town*")))
+
+
+def find_failed_runs(data_root: str) -> List[str]:
+    """Routes with no/corrupt results or a failing quality gate."""
+    return [r for r in _route_dirs(data_root)
+            if not route_passes_quality_gate(r)]
+
+
+def delete_failed_runs(data_root: str, dry_run: bool = True) -> List[str]:
+    failed = find_failed_runs(data_root)
+    if not dry_run:
+        for r in failed:
+            shutil.rmtree(r, ignore_errors=True)
+    return failed
+
+
+def find_defect_jsons(data_root: str,
+                      subdirs: Sequence[str] = ("measurements", "commentary",
+                                                "vqa", "dreamer", "boxes")
+                      ) -> List[str]:
+    """Unreadable/corrupt .json.gz label files."""
+    bad: List[str] = []
+    for route in _route_dirs(data_root):
+        for sub in subdirs:
+            for path in glob.glob(os.path.join(route, sub, "*.json.gz")):
+                try:
+                    with gzip.open(path, "rt") as f:
+                        json.load(f)
+                except Exception:
+                    bad.append(path)
+    return bad
+
+
+def delete_defect_jsons(data_root: str, dry_run: bool = True) -> List[str]:
+    bad = find_defect_jsons(data_root)
+    if not dry_run:
+        for p in bad:
+            os.remove(p)
+    return bad
+
+
+def route_content_hash(route_dir: str) -> Optional[str]:
+    """Hash of the first measurement's route geometry -- duplicates of the
+    same (route, scenario) replay hash equal."""
+    path = os.path.join(route_dir, "measurements", "0000.json.gz")
+    if not os.path.isfile(path):
+        files = sorted(glob.glob(os.path.join(route_dir, "measurements",
+                                              "*.json.gz")))
+        if not files:
+            return None
+        path = files[0]
+    try:
+        with gzip.open(path, "rt") as f:
+            m = json.load(f)
+    except Exception:
+        return None
+    key = json.dumps({"route": m.get("route_original"),
+                      "pos": m.get("pos_global")}, sort_keys=True)
+    return hashlib.sha1(key.encode()).hexdigest()
+
+
+def find_duplicate_routes(data_root: str) -> Dict[str, List[str]]:
+    groups: Dict[str, List[str]] = collections.defaultdict(list)
+    for r in _route_dirs(data_root):
+        h = route_content_hash(r)
+        if h:
+            groups[h].append(r)
+    return {h: rs for h, rs in groups.items() if len(rs) > 1}
+
+
+def scenario_balance_report(data_root: str) -> Dict[str, int]:
+    """Count routes per scenario type (scenario name encoded in the route
+    dir name, e.g. Town12_Rep0_<scenario>_...)."""
+    counts: Dict[str, int] = collections.defaultdict(int)
+    for r in _route_dirs(data_root):
+        name = os.path.basename(r)
+        parts = name.split("_")
+        scenario = parts[2] if len(parts) > 2 else "unknown"
+        counts[scenario] += 1
+    return dict(counts)
+
+
+def upsample_plan(counts: Dict[str, int],
+                  target: Optional[int] = None) -> Dict[str, int]:
+    """How many extra copies per scenario to reach balance
+    (<- balance_scenarios.py)."""
+    if not counts:
+        return {}
+    target = target or max(counts.values())
+    return {k: max(target - v, 0) for k, v in counts.items()}

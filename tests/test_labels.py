@@ -140,3 +140,22 @@ def test_driving_dataset_uses_generated_qa_and_commentary(route):
         else:
             kinds.add("driving")
     assert "qa" in kinds and "commentary" in kinds
+
+
+def test_dataset_tools(route):
+    root, rd = route
+    from simlingo_tpu.labels import dataset_tools as dt
+    failed = dt.find_failed_runs(root)
+    assert failed == []   # module fixture routes all pass the gate
+    bad = dt.find_defect_jsons(root, subdirs=("measurements",))
+    assert bad == []
+    # inject a corrupt file and find it
+    p = os.path.join(rd, "measurements", "corrupt.json.gz")
+    with open(p, "wb") as f:
+        f.write(b"not gzip")
+    assert dt.find_defect_jsons(root, subdirs=("measurements",)) == [p]
+    os.remove(p)
+    counts = dt.scenario_balance_report(root)
+    assert sum(counts.values()) >= 1
+    plan = dt.upsample_plan({"a": 3, "b": 1})
+    assert plan == {"a": 0, "b": 2}
