@@ -38,14 +38,20 @@ class OptimizerConfig:
 
 
 def onecycle_schedule(cfg: OptimizerConfig) -> optax.Schedule:
-    """torch.optim.lr_scheduler.OneCycleLR (cos strategy) equivalent."""
-    return optax.cosine_onecycle_schedule(
-        transition_steps=cfg.total_steps,
-        peak_value=cfg.lr,
-        pct_start=cfg.pct_start,
-        div_factor=cfg.div_factor,
-        final_div_factor=cfg.final_div_factor,
-    )
+    """torch.optim.lr_scheduler.OneCycleLR (cos strategy) equivalent.
+
+    Built from explicit warmup + cosine segments: optax's
+    cosine_onecycle_schedule produces NaN when total_steps * pct_start < 1
+    (zero-length interval), which small smoke runs hit.
+    """
+    warmup = max(1, int(round(cfg.total_steps * cfg.pct_start)))
+    decay = max(1, cfg.total_steps - warmup)
+    init = cfg.lr / cfg.div_factor
+    final = init / cfg.final_div_factor
+    return optax.join_schedules([
+        optax.linear_schedule(init, cfg.lr, warmup),
+        optax.cosine_decay_schedule(cfg.lr, decay, alpha=final / cfg.lr),
+    ], [warmup])
 
 
 def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:

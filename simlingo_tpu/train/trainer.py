@@ -36,6 +36,20 @@ from simlingo_tpu.parallel import mesh as meshlib
 from simlingo_tpu.train import train_step as ts
 
 
+def _dump_git_state(run_dir: str) -> None:
+    """Record the code state (reference utils/logging_project.py:16-67)."""
+    import subprocess
+    try:
+        sha = subprocess.run(["git", "rev-parse", "HEAD"], text=True,
+                             capture_output=True, timeout=10).stdout.strip()
+        diff = subprocess.run(["git", "diff"], text=True,
+                              capture_output=True, timeout=10).stdout
+        with open(os.path.join(run_dir, "git_state.txt"), "w") as f:
+            f.write(f"sha: {sha}\n\n{diff}")
+    except Exception:
+        pass
+
+
 class JsonlLogger:
     def __init__(self, path: str):
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -161,6 +175,7 @@ def train(cfg: TrainConfig,
     logger = JsonlLogger(os.path.join(run_dir, "metrics.jsonl"))
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         json.dump(to_dict(cfg), f, indent=2, default=str)
+    _dump_git_state(run_dir)
 
     start_step = 0
     if cfg.resume:

@@ -66,3 +66,28 @@ def test_onecycle_schedule_shape():
     lr_end = float(sched(999))
     assert abs(lr_peak - 3e-5) / 3e-5 < 1e-5
     assert lr0 < lr_peak and lr_end < lr0
+
+
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+    from simlingo_tpu.core import checkpoint as ckpt
+    cfg = SimLingoConfig.tiny()
+    params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
+    opt = ts.make_optimizer(ts.OptimizerConfig(lr=1e-3, total_steps=10,
+                                               grad_clip=1.0))
+    state = ts.init_train_state(params, opt)
+    step = ts.make_train_step(cfg, opt, compute_dtype=jnp.float32,
+                              donate=False)
+    ex = synthetic_example(cfg, batch=2, seq_len=96, num_patches=1)
+    state, _ = step(state, ex, jax.random.PRNGKey(0))
+
+    path = ckpt.save_checkpoint(str(tmp_path), state, step=1)
+    restored = ckpt.restore_checkpoint(path, state)
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(state),
+            jax.tree_util.tree_leaves_with_path(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(p1))
+    # continuing from the restored state works
+    state2, m = step(restored, ex, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    assert ckpt.latest_checkpoint(str(tmp_path)) == path
