@@ -89,3 +89,40 @@ def merge_route_dir(results_dir: str) -> Dict[str, float]:
     files = sorted(glob.glob(os.path.join(results_dir, "*.json"))
                    + glob.glob(os.path.join(results_dir, "*.json.gz")))
     return merge_route_results(files)
+
+
+def results_to_csv(result_files: Sequence[str], out_csv: str) -> str:
+    """Per-route CSV report (reference tools/result_parser.py:26-39):
+    route id, driving score, route completion, per-infraction counts,
+    normalized infractions/km."""
+    import csv
+
+    rows: List[Dict] = []
+    inf_names: set = set()
+    for path in result_files:
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as f:
+            rec = json.load(f)
+        records = rec.get("_checkpoint", {}).get("records", [rec])
+        for r in records:
+            s = r.get("scores", r)
+            row = {
+                "route": r.get("route_id", os.path.basename(path)),
+                "driving_score": s.get("score_composed", 0.0),
+                "route_completion": s.get("score_route", 0.0),
+                "success": is_success(r),
+                "route_length_m": r.get("meta", {}).get("route_length", 0.0),
+            }
+            for name, events in r.get("infractions", {}).items():
+                n = len(events) if isinstance(events, list) else int(events)
+                row[name] = n
+                inf_names.add(name)
+            rows.append(row)
+    fields = ["route", "driving_score", "route_completion", "success",
+              "route_length_m"] + sorted(inf_names)
+    with open(out_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields, restval=0)
+        w.writeheader()
+        for row in rows:
+            w.writerow(row)
+    return out_csv

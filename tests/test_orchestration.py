@@ -74,3 +74,35 @@ def test_crash_signature_detection(tmp_path):
     assert log_has_crash(str(log))
     log.write_text("all fine\n")
     assert not log_has_crash(str(log))
+
+
+def test_results_to_csv(tmp_path):
+    rec = {"scores": {"score_composed": 80.0, "score_route": 100.0},
+           "infractions": {"red_light": ["x"]},
+           "meta": {"route_length": 150.0}, "route_id": "r7"}
+    p = tmp_path / "r.json"
+    p.write_text(json.dumps(rec))
+    out = ds.results_to_csv([str(p)], str(tmp_path / "out.csv"))
+    text = open(out).read()
+    assert "r7" in text and "red_light" in text and "80.0" in text
+
+
+def test_scenario_logger_roundtrip(tmp_path):
+    from simlingo_tpu.agent.scenario_logger import (ScenarioLogger,
+                                                    rdp_simplify,
+                                                    render_replay)
+    # RDP keeps corners, drops collinear points
+    line = np.array([[0, 0], [1, 0.01], [2, 0], [3, 0], [3, 3]])
+    simp = rdp_simplify(line, epsilon=0.5)
+    assert len(simp) <= 3
+
+    log = ScenarioLogger(save_path=str(tmp_path), route_index="5")
+    log.set_route(np.stack([np.arange(20), np.zeros(20)], 1))
+    for t in range(10):
+        log.log({"position": [float(t), 0.0], "yaw": 0.0, "speed": 5.0},
+                actors=[{"position": [float(t) + 5, 1.0]}],
+                control={"steer": 0.0})
+    path = log.dump(infractions={"red_light": []})
+    assert path and os.path.exists(path)
+    png = render_replay(path, str(tmp_path / "replay.png"))
+    assert os.path.getsize(png) > 1000
