@@ -91,3 +91,43 @@ def test_autopilot_tick_and_schema(tmp_path):
     # ego_matrix encodes the global pose
     m = np.asarray(rec["ego_matrix"])
     np.testing.assert_allclose(m[:2, 3], [100.0, 50.0])
+
+
+def test_data_collector_produces_trainable_dataset(tmp_path):
+    """Expert data collection -> our own index/dataset can consume it."""
+    import cv2
+    from simlingo_tpu.agent.data_agent import DataCollector
+
+    root = tmp_path / "v1" / "b0" / "routes_training" / "Town12_dc"
+    route_dir = str(tmp_path / "data" / "simlingo" / "v1" / "b0" /
+                    "routes_training" / "Town12_dc")
+    dc = DataCollector(route_dir, data_save_freq=1, seed=0)
+    rng = np.random.RandomState(0)
+    route = np.stack([np.arange(0.1, 40, 0.1),
+                      np.zeros(len(np.arange(0.1, 40, 0.1)))], 1)
+    for t in range(30):
+        x = 1.25 * t
+        obs = ExpertObservation(
+            pos_global=np.array([x, 0.0]), theta=0.0, speed=5.0,
+            speed_limit=8.0, route=route, route_original=route,
+            target_point=np.array([20.0, 0.0]),
+            target_point_next=np.array([40.0, 0.0]))
+        rgb = rng.randint(0, 255, (512, 1024, 3), np.uint8)
+        dc.tick(obs, rgb=rgb, boxes=[{"class": "vehicle",
+                                      "position": [15.0, 0.0, 0.0]}])
+    dc.destroy(route_completion=100.0)
+
+    from simlingo_tpu.data.index import build_index
+    idx = build_index(str(tmp_path), split="train", use_town13=False,
+                      pred_len=11)
+    assert len(idx) > 0
+
+    from simlingo_tpu.data.driving_dataset import (DrivingDataset,
+                                                   DrivingDatasetConfig)
+    ds = DrivingDataset(DrivingDatasetConfig(
+        data_root=str(tmp_path), split="train", use_town13=False,
+        use_commentary=False, use_qa=False, img_shift_augmentation=False,
+        route_as="target_point", image_size=56, max_num_grid=2))
+    s = ds.get(0, np.random.RandomState(0))
+    assert s.waypoints.shape == (10, 2)
+    assert np.isfinite(s.waypoints).all()
