@@ -159,3 +159,21 @@ def test_dataset_tools(route):
     assert sum(counts.values()) >= 1
     plan = dt.upsample_plan({"a": 3, "b": 1})
     assert plan == {"a": 0, "b": 2}
+
+
+def test_bev_renderer():
+    from simlingo_tpu.labels.bev_renderer import BEVRenderer
+    r = BEVRenderer(size_px=192, meters_range=38.4)
+    route = np.stack([np.arange(0, 25, 1.0), np.zeros(25)], 1)
+    bev = r.render(route=route,
+                   vehicles=[{"position": [10.0, 0.0], "yaw": 0.0}],
+                   walkers=[{"position": [5.0, -3.0]}],
+                   red_light_lines=[np.array([[15, -2], [15, 2]])])
+    assert bev.shape == (192, 192, 6)
+    assert bev[:, :, 0].sum() > 0       # route drawn
+    assert bev[:, :, 1].sum() > 0       # ego box
+    # vehicle at 10 m ahead: raster row ~ ego_row - 10*px_per_m
+    rows, cols = np.nonzero(bev[:, :, 2])
+    assert abs(rows.mean() - (r.ego_row - 10 * r.px_per_m)) < 8
+    rgb = r.to_rgb(bev)
+    assert rgb.shape == (192, 192, 3) and rgb.max() > 0
