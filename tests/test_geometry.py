@@ -1,0 +1,48 @@
+"""Geometry utils: OBB intersection, NMS, projection, conversions."""
+
+import numpy as np
+
+from simlingo_tpu.utils import geometry as G
+
+
+def test_frame_conversions_roundtrip():
+    p = np.array([3.0, -2.0])
+    t = np.array([10.0, 5.0])
+    yaw = 0.7
+    g = G.conversion_2d(p, t, yaw)
+    back = G.inverse_conversion_2d(g, t, yaw)
+    np.testing.assert_allclose(back, p, atol=1e-12)
+
+
+def test_obb_intersection():
+    assert G.obb_intersect([0, 0], 0.0, (2, 1), [3.5, 0], 0.0, (2, 1))
+    assert not G.obb_intersect([0, 0], 0.0, (2, 1), [5.0, 0], 0.0, (2, 1))
+    # rotated box slips between
+    assert not G.obb_intersect([0, 0], 0.0, (2, 0.4),
+                               [0, 2.0], np.pi / 2, (1.2, 0.4))
+    assert G.obb_intersect([0, 0], np.pi / 4, (3, 3), [3, 3], 0.0, (1, 1))
+
+
+def test_nms():
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30.]])
+    scores = np.array([0.9, 0.8, 0.7])
+    keep = G.nms(boxes, scores, iou_threshold=0.5)
+    assert keep == [0, 2]
+
+
+def test_projection_center():
+    # point straight ahead projects to the image center
+    uv = G.project_points(np.array([[10.0, 0.0, 2.0]]))
+    np.testing.assert_allclose(uv[0], [512, 256], atol=1.0)
+    # point behind the camera is nan
+    uv2 = G.project_points(np.array([[-10.0, 0.0, 2.0]]))
+    assert np.isnan(uv2[0]).all()
+    # point to the right lands right of center
+    uv3 = G.project_points(np.array([[10.0, 3.0, 2.0]]))
+    assert uv3[0, 0] > 512
+
+
+def test_normalize_angle():
+    assert abs(G.normalize_angle(3 * np.pi) - np.pi) < 1e-9 or \
+        abs(G.normalize_angle(3 * np.pi) + np.pi) < 1e-9
+    assert abs(G.normalize_angle(0.1) - 0.1) < 1e-12
