@@ -60,6 +60,39 @@ class JsonlLogger:
         self.f.flush()
 
 
+class WandbLogger:
+    """Optional wandb sink (reference train.py:148-157); activated when the
+    wandb package is importable and WANDB_MODE is not 'disabled'."""
+
+    def __init__(self, name: str, config: Dict[str, Any]):
+        import wandb
+        self.run = wandb.init(project=os.environ.get(
+            "WANDB_PROJECT", "simlingo_tpu"), name=name, config=config,
+            resume="allow")
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        self.run.log(metrics, step=step)
+
+
+class MultiLogger:
+    def __init__(self, loggers):
+        self.loggers = loggers
+
+    def log(self, step, metrics):
+        for lg in self.loggers:
+            lg.log(step, metrics)
+
+
+def make_logger(run_dir: str, name: str, config: Dict[str, Any]):
+    loggers = [JsonlLogger(os.path.join(run_dir, "metrics.jsonl"))]
+    if os.environ.get("WANDB_MODE", "disabled") != "disabled":
+        try:
+            loggers.append(WandbLogger(name, config))
+        except Exception as e:
+            print(f"wandb disabled: {e}")
+    return MultiLogger(loggers)
+
+
 class Prefetcher:
     """Thread-pool prefetch: sampler step -> collated device batch."""
 
@@ -172,10 +205,10 @@ def train(cfg: TrainConfig,
 
     run_dir = os.path.join(cfg.output_dir, cfg.name)
     ckpt_dir = os.path.join(run_dir, "checkpoints")
-    logger = JsonlLogger(os.path.join(run_dir, "metrics.jsonl"))
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         json.dump(to_dict(cfg), f, indent=2, default=str)
     _dump_git_state(run_dir)
+    logger = make_logger(run_dir, cfg.name, to_dict(cfg))
 
     start_step = 0
     if cfg.resume:
