@@ -82,12 +82,9 @@ def latency_bench():
 
 
 def main():
-    # Training attention: Pallas forward + XLA-recompute backward ("hybrid").
-    # The fully-fused Pallas backward passes interpret-mode and standalone
-    # hardware tests but hangs this host's experimental TPU runtime when
-    # multiple Pallas kernels share one program; "hybrid" is the robust path
-    # (attention is <1% of model FLOPs at T~800, so throughput is unaffected).
-    os.environ.setdefault("SIMLINGO_ATTN_IMPL", "hybrid")
+    # Fully-fused Pallas flash attention (fwd + bwd) by default; "hybrid"
+    # (Pallas fwd + XLA bwd) and "bundled" remain available as fallbacks.
+    os.environ.setdefault("SIMLINGO_ATTN_IMPL", "pallas")
 
     import jax
     import jax.numpy as jnp

@@ -349,7 +349,10 @@ def flash_attention(
     if kv_valid is None:
         kv_valid = jnp.ones((B, S), dtype=jnp.int32)
     else:
-        kv_valid = kv_valid.astype(jnp.int32)
+        # broadcast explicitly: the kernel's index map addresses the batch
+        # dim directly, so a [1, S] mask would be read out of bounds for
+        # b > 0 (silent OOB DMA -- crashes some TPU runtimes)
+        kv_valid = jnp.broadcast_to(kv_valid, (B, S)).astype(jnp.int32)
 
     # [B, T, H, D] -> [B, H, T, D]; pad sequence dims to block multiples
     qt = _pad_to(q.transpose(0, 2, 1, 3), 2, block_q)
