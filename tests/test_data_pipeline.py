@@ -168,3 +168,17 @@ def test_sampler_deterministic_and_weighted():
     assert draws1 == draws2
     frac_a = np.mean([b == 0 for b, _ in draws1])
     assert 0.4 < frac_a < 0.6
+
+
+def test_image_augmenter_deterministic():
+    from simlingo_tpu.data.augment import clahe_enhance, image_augmenter
+    rng1 = np.random.RandomState(7)
+    rng2 = np.random.RandomState(7)
+    img = np.random.RandomState(0).randint(0, 255, (64, 128, 3), np.uint8)
+    a = image_augmenter(img, rng1, prob=1.0)
+    b = image_augmenter(img, rng2, prob=1.0)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == img.shape and a.dtype == np.uint8
+    assert not np.array_equal(a, img)   # something changed at prob=1
+    c = clahe_enhance(img)
+    assert c.shape == img.shape
