@@ -177,3 +177,20 @@ def test_bev_renderer():
     assert abs(rows.mean() - (r.ego_row - 10 * r.px_per_m)) < 8
     rgb = r.to_rgb(bev)
     assert rgb.shape == (192, 192, 3) and rgb.max() > 0
+
+
+def test_template_augmentation_roundtrip(tmp_path):
+    """Generate commentary, augment its templates, train dataset uses them."""
+    from simlingo_tpu.labels.augment_templates import (
+        rule_based_paraphrases, write_augmented_commentary)
+    s = "The ego vehicle slows down because of <OBJECT> and follows the road."
+    paras = rule_based_paraphrases(s, n=4)
+    assert paras and all("<OBJECT>" in p for p in paras)
+    assert any(p != s for p in paras)
+
+    templates = [s, "The ego vehicle stops because of the red traffic light."]
+    path = write_augmented_commentary(templates, str(tmp_path), use_gpt=False)
+    import json
+    data = json.load(open(path))
+    assert set(data) == set(templates)
+    assert all(len(v) >= 2 for v in data.values())
