@@ -330,11 +330,16 @@ def flash_attention(
     kv_valid: Optional[jnp.ndarray] = None,   # [B, S] bool
     causal: bool = True,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     q_offset: Optional[jnp.ndarray] = None,   # scalar: global slot of q row 0
 ) -> jnp.ndarray:
-    """Pallas flash attention with slot-order causality + key-validity masking."""
+    """Pallas flash attention with slot-order causality + key-validity masking.
+
+    Block sizing: at SimLingo sequence lengths (<= ~1.3k) a SINGLE block per
+    (batch, head) minimizes grid-program count and DMA overhead (the scores
+    tile fits VMEM comfortably); longer sequences fall back to 256-blocks.
+    """
     B, T, HQ, D = q.shape
     _, S, HK, _ = k.shape
     if scale is None:
@@ -343,8 +348,15 @@ def flash_attention(
         q_offset = S - T
     q_off = jnp.full((1, 1), q_offset, jnp.int32)
 
-    block_q = min(block_q, max(128, 1 << (T - 1).bit_length()))
-    block_k = min(block_k, max(128, 1 << (S - 1).bit_length()))
+    def ceil128(n):
+        return -(-n // 128) * 128
+
+    if block_k is None:
+        block_k = ceil128(S) if ceil128(S) <= 1280 else 256
+    if block_q is None:
+        block_q = ceil128(T) if ceil128(T) <= 1280 else 256
+    block_q = min(block_q, ceil128(T))
+    block_k = min(block_k, ceil128(S))
 
     if kv_valid is None:
         kv_valid = jnp.ones((B, S), dtype=jnp.int32)

@@ -186,7 +186,8 @@ def forward_loss(params: Dict[str, Any], example: DrivingExample,
     if cfg.speed_wps_mode == "2d":
         speed_label = dl.waypoints[:, :A.NUM_SPEED_QUERIES]
     else:
-        speed_label = dl.waypoints_1d[:, :A.NUM_SPEED_QUERIES]
+        # 1d mode: cumulative arc length only (waypoints_1d stores [d, 0])
+        speed_label = dl.waypoints_1d[:, :A.NUM_SPEED_QUERIES, :1]
     d_losses, preds = A.driving_loss(params["adaptors"], query_h,
                                      route_label, speed_label)
     losses.update(d_losses)

@@ -118,3 +118,14 @@ def test_gathered_ce_equals_full_ce():
         float(out_g.loss_averages["language_loss"]), rtol=1e-5)
     assert int(out_f.loss_counts["language_loss"]) \
         == int(out_g.loss_counts["language_loss"])
+
+
+def test_speed_wps_1d_mode():
+    """1d waypoint mode: speed head emits [B, 10, 1]; loss vs waypoints_1d."""
+    import dataclasses
+    cfg = dataclasses.replace(SimLingoConfig.tiny(), speed_wps_mode="1d")
+    params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
+    ex = synthetic_example(cfg, batch=2, seq_len=96, num_patches=1)
+    out, preds = simlingo.forward_loss(params, ex, cfg)
+    assert preds["speed_wps"].shape == (2, 10, 1)
+    assert np.isfinite(float(out.loss))
