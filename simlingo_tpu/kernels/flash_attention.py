@@ -283,6 +283,14 @@ def _flash_bwd(causal, scale, block_q, block_k, res, dout):
     _, HK, S, _ = k.shape
     group = HQ // HK
 
+    # The backward materializes three [bq, bk] fp32 tiles (p, dp, ds); cap
+    # the inner q-block so the scoped VMEM stays under the 16 MB limit even
+    # when the forward used a single full-sequence block.
+    bq_inner = min(block_q, 384)
+    while T % bq_inner != 0:
+        bq_inner -= 128
+    block_q = bq_inner
+
     # One fused kernel: dq accumulated in a revisited block across kv steps;
     # dk/dv written per kv block (per q-head, group-reduced below).
     dq, dk_e, dv_e = pl.pallas_call(
