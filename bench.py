@@ -100,8 +100,11 @@ def main():
 
     import dataclasses
     cfg = presets.internvl2_1b(lora=True)
-    if os.environ.get("BENCH_REMAT", "1") == "0":
+    remat = os.environ.get("BENCH_REMAT", "1")
+    if remat == "0":
         cfg = dataclasses.replace(cfg, remat_vision=False, remat_llm=False)
+    elif remat == "vision":
+        cfg = dataclasses.replace(cfg, remat_llm=False)
     params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
     mask = ts.trainable_mask(params, ts.production_trainable)
     opt = ts.make_masked_optimizer(

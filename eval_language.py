@@ -31,6 +31,7 @@ def main():
 
     from simlingo_tpu.core import checkpoint as ckpt
     from simlingo_tpu.core.presets import internvl2_1b
+    import os
     from simlingo_tpu.data.dreamer_dataset import (DreamerDataset,
                                                    DreamerDatasetConfig)
     from simlingo_tpu.data.driving_dataset import (DrivingDataset,
@@ -39,7 +40,21 @@ def main():
     from simlingo_tpu.eval.language_eval import EvalConfig, run_language_eval
     from simlingo_tpu.models import simlingo
 
+    # rebuild the model config from the training run when available
+    # (reference eval.py:73-77 reloads .hydra/config.yaml from the ckpt dir)
     model_cfg = internvl2_1b()
+    run_dir = os.path.dirname(os.path.dirname(os.path.abspath(args.checkpoint)))
+    run_cfg_path = os.path.join(run_dir, "config.json")
+    if os.path.isfile(run_cfg_path):
+        import dataclasses
+        import json as _json
+        with open(run_cfg_path) as f:
+            run_cfg = _json.load(f)
+        m = run_cfg.get("model", {})
+        if m.get("speed_wps_mode"):
+            model_cfg = dataclasses.replace(
+                model_cfg, speed_wps_mode=m["speed_wps_mode"],
+                predict_route_as_wps=m.get("predict_route_as_wps", True))
     if any(args.checkpoint.endswith(s) for s in (".pt", ".bin")) \
             or "step_" not in args.checkpoint:
         params = ckpt.load_hf_checkpoint(args.checkpoint, model_cfg)
