@@ -100,7 +100,7 @@ def main():
 
     import dataclasses
     cfg = presets.internvl2_1b(lora=True)
-    remat = os.environ.get("BENCH_REMAT", "1")
+    remat = os.environ.get("BENCH_REMAT", "vision")
     if remat == "0":
         cfg = dataclasses.replace(cfg, remat_vision=False, remat_llm=False)
     elif remat == "vision":

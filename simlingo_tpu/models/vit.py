@@ -128,6 +128,7 @@ def _vit_layer(p, x, cfg: ViTConfig):
     k = k.reshape(B, T, nh, hd)
     v = v.reshape(B, T, nh, hd)
     a = attention(q, k, v, None, causal=False)
+    a = jax.ad_checkpoint.checkpoint_name(a, "vit_attn_out")
     a = L.linear(p["attn"]["o"], a.reshape(B, T, H))
     x = x + p["ls1"].astype(a.dtype) * a
 
@@ -145,8 +146,13 @@ def encode(params, images: jnp.ndarray, cfg: ViTConfig,
                            (B, 1, cfg.hidden_size))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(x.dtype)
+    # remat recomputes each layer in the backward EXCEPT the attention
+    # kernel's output (tagged above): re-running flash attention costs more
+    # than storing its [B, T, H] result.
+    policy = jax.checkpoint_policies.save_only_these_names("vit_attn_out")
     for i in range(cfg.num_layers):
-        fn = jax.checkpoint(_vit_layer, static_argnums=(2,)) if remat else _vit_layer
+        fn = jax.checkpoint(_vit_layer, static_argnums=(2,),
+                            policy=policy) if remat else _vit_layer
         x = fn(params["layers"][str(i)], x, cfg)
     return x
 

@@ -194,3 +194,26 @@ def test_template_augmentation_roundtrip(tmp_path):
     data = json.load(open(path))
     assert set(data) == set(templates)
     assert all(len(v) >= 2 for v in data.values())
+
+
+def test_eval_set_build_and_match(route, tmp_path):
+    """Build an evalset from generated VQA, parse it back, match the index."""
+    import json
+    from simlingo_tpu.eval.eval_sets import (build_eval_set, match_index,
+                                             parse_eval_set)
+    from simlingo_tpu.data.index import build_index
+
+    root, rd = route   # fixture already generated vqa files in earlier tests
+    es = build_eval_set(root, mode="QA", samples_per_template=3)
+    assert es, "no VQA templates found"
+    p = tmp_path / "evalset_vqa.json"
+    p.write_text(json.dumps(es))
+
+    entries = parse_eval_set(str(p), mode="QA")
+    assert entries and all(e[0].endswith(".json.gz") for e in entries)
+    assert all("measurements" in e[0] for e in entries)
+
+    idx = build_index(root, split="train", use_town13=False)
+    matched = match_index(idx, entries)
+    assert matched, "no eval samples matched the index"
+    assert all(isinstance(t, tuple) for _, t in matched)
