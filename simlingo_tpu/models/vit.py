@@ -21,6 +21,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax import ad_checkpoint
 
 from simlingo_tpu.kernels.flash_attention import attention
 from simlingo_tpu.models import layers as L
@@ -128,7 +129,7 @@ def _vit_layer(p, x, cfg: ViTConfig):
     k = k.reshape(B, T, nh, hd)
     v = v.reshape(B, T, nh, hd)
     a = attention(q, k, v, None, causal=False)
-    a = jax.ad_checkpoint.checkpoint_name(a, "vit_attn_out")
+    a = ad_checkpoint.checkpoint_name(a, "vit_attn_out")
     a = L.linear(p["attn"]["o"], a.reshape(B, T, H))
     x = x + p["ls1"].astype(a.dtype) * a
 

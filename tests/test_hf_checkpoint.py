@@ -1,0 +1,162 @@
+"""HF/torch checkpoint import: remote-code InternVL2 naming + LoRA merge +
+trained-SimLingo layout -> our parameter tree -> working forward."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from simlingo_tpu.core import checkpoint as ckpt
+from simlingo_tpu.core import hf_convert as C
+from simlingo_tpu.models.qwen2 import Qwen2Config
+from simlingo_tpu.models.simlingo import SimLingoConfig
+from simlingo_tpu.models.vit import ViTConfig
+
+
+def _tiny_cfg():
+    return SimLingoConfig(
+        vit=ViTConfig(hidden_size=32, num_layers=2, num_heads=2,
+                      intermediate_size=64, image_size=28, patch_size=14,
+                      projector_out=48),
+        llm=Qwen2Config(vocab_size=128, hidden_size=48, num_layers=2,
+                        num_heads=4, num_kv_heads=2, head_dim=12,
+                        intermediate_size=96),
+        img_context_token_id=100,
+        remat_vision=False, remat_llm=False)
+
+
+def _make_remote_code_state_dict(cfg, prefix=""):
+    """Torch state dict in OpenGVLab remote-code naming."""
+    t = torch.randn
+    H = cfg.vit.hidden_size
+    Hl = cfg.llm.hidden_size
+    D = cfg.llm.head_dim
+    sd = {}
+    vp = prefix + "vision_model."
+    sd[vp + "embeddings.patch_embedding.weight"] = t(H, 3, 14, 14)
+    sd[vp + "embeddings.patch_embedding.bias"] = t(H)
+    sd[vp + "embeddings.class_embedding"] = t(1, 1, H)
+    n_pos = cfg.vit.num_patches + 1
+    sd[vp + "embeddings.position_embedding"] = t(1, n_pos, H)
+    for i in range(cfg.vit.num_layers):
+        lp = vp + f"encoder.layers.{i}."
+        sd[lp + "attn.qkv.weight"] = t(3 * H, H)
+        sd[lp + "attn.qkv.bias"] = t(3 * H)
+        sd[lp + "attn.proj.weight"] = t(H, H)
+        sd[lp + "attn.proj.bias"] = t(H)
+        sd[lp + "norm1.weight"] = t(H); sd[lp + "norm1.bias"] = t(H)
+        sd[lp + "norm2.weight"] = t(H); sd[lp + "norm2.bias"] = t(H)
+        sd[lp + "ls1"] = t(H); sd[lp + "ls2"] = t(H)
+        sd[lp + "mlp.fc1.weight"] = t(cfg.vit.intermediate_size, H)
+        sd[lp + "mlp.fc1.bias"] = t(cfg.vit.intermediate_size)
+        sd[lp + "mlp.fc2.weight"] = t(H, cfg.vit.intermediate_size)
+        sd[lp + "mlp.fc2.bias"] = t(H)
+    proj_in = int(H / cfg.vit.downsample_ratio ** 2)
+    mp = prefix + "mlp1."
+    sd[mp + "0.weight"] = t(proj_in); sd[mp + "0.bias"] = t(proj_in)
+    sd[mp + "1.weight"] = t(cfg.vit.projector_out, proj_in)
+    sd[mp + "1.bias"] = t(cfg.vit.projector_out)
+    sd[mp + "3.weight"] = t(cfg.vit.projector_out, cfg.vit.projector_out)
+    sd[mp + "3.bias"] = t(cfg.vit.projector_out)
+    return sd
+
+
+def _make_llm_state_dict(cfg, prefix="language_model.model."):
+    t = torch.randn
+    c = cfg.llm
+    H, D = c.hidden_size, c.head_dim
+    sd = {prefix + "embed_tokens.weight": t(c.vocab_size, H),
+          prefix + "norm.weight": t(H)}
+    for i in range(c.num_layers):
+        lp = prefix + f"layers.{i}."
+        sd[lp + "input_layernorm.weight"] = t(H)
+        sd[lp + "post_attention_layernorm.weight"] = t(H)
+        sd[lp + "self_attn.q_proj.weight"] = t(c.num_heads * D, H)
+        sd[lp + "self_attn.q_proj.bias"] = t(c.num_heads * D)
+        sd[lp + "self_attn.k_proj.weight"] = t(c.num_kv_heads * D, H)
+        sd[lp + "self_attn.k_proj.bias"] = t(c.num_kv_heads * D)
+        sd[lp + "self_attn.v_proj.weight"] = t(c.num_kv_heads * D, H)
+        sd[lp + "self_attn.v_proj.bias"] = t(c.num_kv_heads * D)
+        sd[lp + "self_attn.o_proj.weight"] = t(H, c.num_heads * D)
+        sd[lp + "mlp.gate_proj.weight"] = t(c.intermediate_size, H)
+        sd[lp + "mlp.up_proj.weight"] = t(c.intermediate_size, H)
+        sd[lp + "mlp.down_proj.weight"] = t(H, c.intermediate_size)
+    return sd
+
+
+def test_load_raw_internvl2_checkpoint(tmp_path):
+    cfg = _tiny_cfg()
+    sd = {**_make_remote_code_state_dict(cfg),
+          **_make_llm_state_dict(cfg)}
+    path = tmp_path / "pytorch_model.pt"
+    torch.save(sd, str(path))
+
+    params = ckpt.load_hf_checkpoint(str(path), cfg)
+    assert params["llm"]["embed"]["w"].shape == (128, 48)
+    assert params["vision"]["layers"]["0"]["attn"]["q"]["w"].shape == (32, 32)
+
+    # forward runs end to end on the converted tree
+    from simlingo_tpu.data.synthetic import synthetic_example
+    from simlingo_tpu.models import simlingo
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    params["adaptors"] = simlingo.init_params(
+        jax.random.PRNGKey(0), cfg)["adaptors"]
+    params["wp_encoder"] = simlingo.init_params(
+        jax.random.PRNGKey(0), cfg)["wp_encoder"]
+    ex = synthetic_example(cfg, batch=1, seq_len=64, num_patches=1)
+    out, _ = simlingo.forward_loss(params, ex, cfg)
+    assert np.isfinite(float(out.loss))
+
+
+def test_trained_simlingo_layout_with_lora_merge(tmp_path):
+    """DrivingModel layout: vision_model.model.* + peft-wrapped LLM +
+    adaptors + wp_encoder, with LoRA A/B to merge."""
+    cfg = _tiny_cfg()
+    t = torch.randn
+    sd = {}
+    sd.update(_make_remote_code_state_dict(cfg, prefix="vision_model.model."))
+    # peft-wrapped LLM: base_layer + lora_A/B on q_proj of layer 0
+    llm = _make_llm_state_dict(
+        cfg, prefix="language_model.model.base_model.model.model.")
+    peft_sd = {}
+    for k, v in llm.items():
+        if "self_attn.q_proj.weight" in k:
+            mod = k[: -len(".weight")]
+            peft_sd[mod + ".base_layer.weight"] = v
+            peft_sd[mod + ".lora_A.default.weight"] = t(2, cfg.llm.hidden_size)
+            peft_sd[mod + ".lora_B.default.weight"] = torch.zeros(
+                cfg.llm.num_heads * cfg.llm.head_dim, 2)
+        else:
+            peft_sd[k] = v
+    sd.update(peft_sd)
+    H = cfg.llm.hidden_size
+    sd["adaptors.driving.query_embeds_wps"] = t(1, 20, H)
+    sd["adaptors.driving.query_embeds_speed"] = t(1, 10, H)
+    for i, (din, dout) in enumerate([(H, 512), (512, 256), (256, 2)]):
+        sd[f"adaptors.driving.route_head.{i*2}.weight"] = t(dout, din)
+        if i < 2:
+            sd[f"adaptors.driving.route_head.{i*2}.bias"] = t(dout)
+    for i, (din, dout) in enumerate([(H, 256), (256, 2)]):
+        sd[f"adaptors.driving.speed_wps_head.{i*2}.weight"] = t(dout, din)
+        if i < 1:
+            sd[f"adaptors.driving.speed_wps_head.{i*2}.bias"] = t(dout)
+    for i, (din, dout) in enumerate([(2, 256), (256, 512), (512, H)]):
+        sd[f"wp_encoder.mlp.{i*2}.weight"] = t(dout, din)
+        sd[f"wp_encoder.mlp.{i*2}.bias"] = t(dout)
+
+    path = tmp_path / "pytorch_model.pt"
+    torch.save(sd, str(path))
+
+    params = ckpt.load_hf_checkpoint(str(path), cfg, lora_merge=True,
+                                     lora_alpha=4, lora_r=2)
+    # with B zero-init, merged == base
+    base = llm["language_model.model.base_model.model.model."
+               "layers.0.self_attn.q_proj.weight"]
+    np.testing.assert_allclose(
+        np.asarray(params["llm"]["layers"]["0"]["attn"]["q"]["w"]),
+        base.numpy().T, atol=1e-6)
+    assert params["adaptors"]["route_queries"].shape == (1, 20, H)
+    assert "l0" in params["wp_encoder"]
