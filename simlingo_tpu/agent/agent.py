@@ -92,6 +92,10 @@ class LingoAgent:
         self.latencies: list = []
         self.last_control = (0.0, 0.0, False)
         self.last_language = ""
+        # per-frame metric dump (reference agent_simlingo.py:905-911)
+        import os
+        self.metric_path = os.environ.get("SIMLINGO_METRIC_INFO")
+        self._metric_file = open(self.metric_path, "a") if self.metric_path else None
 
     # ------------------------------------------------------------------
     def build_prompt(self, frame: AgentFrame) -> Tuple[str, Dict[str, np.ndarray]]:
@@ -163,6 +167,15 @@ class LingoAgent:
         latency = time.perf_counter() - t0
         self.latencies.append(latency)
         self.last_control = (steer, throttle, brake)
+        if self._metric_file is not None:
+            import json
+            self._metric_file.write(json.dumps({
+                "step": self.step_count, "steer": steer,
+                "throttle": throttle, "brake": brake,
+                "speed": float(frame.speed), "latency_ms": latency * 1e3,
+                "language": self.last_language,
+            }) + "\n")
+            self._metric_file.flush()
         return {
             "steer": steer, "throttle": throttle, "brake": brake,
             "route": route, "speed_wps": speed_wps,

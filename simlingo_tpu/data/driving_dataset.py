@@ -286,7 +286,11 @@ class DrivingDataset:
         return target_options, placeholder_values, tps
 
     # ------------------------------------------------------------------
-    def get(self, i: int, rng: np.random.RandomState) -> RawSample:
+    def get(self, i: int, rng: np.random.RandomState,
+            force_qa: Optional[Tuple[str, str]] = None) -> RawSample:
+        """force_qa: evaluation mode -- use this exact (question, answer)
+        instead of sampling (reference Data_Eval pins the evalset's QA
+        template, dataset_eval_qa_comm.py)."""
         cfg = self.cfg
         route_dir = self.index.route_dir(i)
         start = int(self.index.frame[i])
@@ -326,7 +330,12 @@ class DrivingDataset:
         p = rng.rand()
         probs = self.prompt_probabilities
         opt = target_options[rng.randint(len(target_options))]
-        if cfg.use_commentary and commentary_exists and p < probs["commentary"]:
+        if force_qa is not None:
+            qa_q, qa_a = force_qa
+            prompt = f"Current speed: {speed_rounded} m/s. {opt} Q: {qa_q}"
+            answer = f"A: {qa_a}"
+            qa_template = force_qa
+        elif cfg.use_commentary and commentary_exists and p < probs["commentary"]:
             if rng.rand() < 0.2:
                 if rng.rand() < 0.5:
                     prompt = (f"Current speed: {speed_rounded} m/s. {opt} "

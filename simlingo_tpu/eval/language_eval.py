@@ -63,8 +63,18 @@ def run_language_eval(params, model_cfg: SimLingoConfig, samples: Sequence,
     }
     rng = np.random.RandomState(0)
     B = cfg.batch_size
+
+    def fetch(entry):
+        if isinstance(entry, tuple):
+            j, template = entry
+            try:
+                return dataset.get(j, rng, force_qa=template)
+            except TypeError:
+                return dataset.get(j, rng)
+        return dataset.get(entry, rng)
+
     for i in range(0, len(samples), B):
-        chunk = [dataset.get(j, rng) for j in samples[i:i + B]]
+        chunk = [fetch(e) for e in samples[i:i + B]]
         pad_to = B - len(chunk)
         raw = chunk + [chunk[-1]] * pad_to     # static batch shape
         ex = collate(raw, tok, ccfg, for_inference=True)
