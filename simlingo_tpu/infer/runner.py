@@ -40,11 +40,50 @@ class GenerateConfig:
     max_new_tokens: int = 100
     eos_token_id: int = 151645          # <|im_end|> for InternVL2-1B chat
     cache_dtype: Any = jnp.bfloat16
+    # sampling (reference LLM.sample_categorical, llm.py:145-176):
+    # temperature <= 0 => greedy argmax
+    temperature: float = 0.0
+    top_k: int = 0                      # 0 => disabled
+    top_p: float = 0.0                  # 0 => disabled
+    # restrict sampling to token ids [lo, lo+n) (reference restrict_tokens)
+    restrict_tokens: Optional[Tuple[int, int]] = None
+
+
+def sample_categorical(rng, logits: jnp.ndarray, cfg: "GenerateConfig"
+                       ) -> jnp.ndarray:
+    """Token selection with temperature / top-k / top-p / restriction.
+
+    Matches reference sample_categorical semantics (llm.py:145-176) with
+    static shapes (top-k via top_k values threshold, top-p via sorted cumsum).
+    """
+    if cfg.restrict_tokens is not None:
+        lo, n = cfg.restrict_tokens
+        V = logits.shape[-1]
+        ids = jnp.arange(V)
+        logits = jnp.where((ids >= lo) & (ids < lo + n), logits, -jnp.inf)
+    if cfg.temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if cfg.top_k and cfg.top_k > 0:
+        kth = jax.lax.top_k(logits, cfg.top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    logits = logits / max(cfg.temperature, 1e-9)
+    if cfg.top_p and cfg.top_p > 0.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens until cumulative prob exceeds top_p (incl. first above)
+        keep_sorted = jnp.roll(cum <= cfg.top_p, 1, axis=-1).at[..., 0].set(True)
+        # threshold logit = smallest kept sorted logit
+        kept_min = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf),
+                           axis=-1, keepdims=True)
+        logits = jnp.where(logits >= kept_min, logits, -jnp.inf)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
 def generate_and_drive(params: Dict[str, Any], di: DrivingInput,
                        model_cfg: SimLingoConfig, gen_cfg: GenerateConfig,
-                       compute_dtype=jnp.bfloat16
+                       compute_dtype=jnp.bfloat16,
+                       rng: Optional[jax.Array] = None
                        ) -> DrivingOutput:
     """Greedy language generation + waypoint decoding, fully jittable.
 
@@ -87,10 +126,14 @@ def generate_and_drive(params: Dict[str, Any], di: DrivingInput,
         step, done, _, _, _, _ = carry
         return (step < max_new) & ~done.all()
 
+    sample_rng = rng if rng is not None else jax.random.PRNGKey(0)
+
     def body(carry):
         step, done, tokens, last_h, kv_valid, cache = carry
         logits = logits_of(last_h.astype(compute_dtype))         # [B, V]
-        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        step_rng = jax.random.fold_in(sample_rng, step)
+        next_tok = sample_categorical(step_rng, logits.astype(jnp.float32),
+                                      gen_cfg)
         # finished sequences keep emitting eos
         next_tok = jnp.where(done, gen_cfg.eos_token_id, next_tok)
         tokens = tokens.at[:, step].set(jnp.where(done, gen_cfg.eos_token_id,

@@ -92,3 +92,24 @@ def test_drive_only_matches_training_layout():
     )(params, ex.driving_input)
     assert out.route.shape == (2, 20, 2)
     assert np.isfinite(np.asarray(out.route)).all()
+
+
+def test_sampling_options():
+    import jax
+    from simlingo_tpu.infer.runner import GenerateConfig, sample_categorical
+
+    logits = jnp.asarray([[1.0, 5.0, 3.0, 0.0, -2.0]])
+    rng = jax.random.PRNGKey(0)
+    pick = lambda r, c: int(sample_categorical(r, logits, c)[0])
+    # greedy
+    assert pick(rng, GenerateConfig()) == 1
+    # restriction excludes the argmax
+    assert pick(rng, GenerateConfig(restrict_tokens=(2, 2))) in (2, 3)
+    # top-k=1 == greedy even with temperature
+    assert pick(rng, GenerateConfig(temperature=1.0, top_k=1)) == 1
+    # top-p tiny keeps only the max
+    assert pick(rng, GenerateConfig(temperature=1.0, top_p=1e-6)) == 1
+    # temperature sampling covers several tokens
+    cfg = GenerateConfig(temperature=2.0)
+    draws = {pick(jax.random.PRNGKey(i), cfg) for i in range(50)}
+    assert len(draws) > 1
