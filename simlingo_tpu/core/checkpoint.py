@@ -29,6 +29,8 @@ def save_checkpoint(ckpt_dir: str, state: Dict[str, Any], step: int,
                     keep: Optional[int] = None) -> str:
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
+    if os.path.isdir(path):      # idempotent: periodic + final save collide
+        return path
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state)
     ckptr.wait_until_finished()
@@ -46,10 +48,17 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 
 def restore_checkpoint(path: str, target: Dict[str, Any]) -> Dict[str, Any]:
     """Restore into the structure/shardings of `target` (an abstract or
-    concrete state pytree)."""
+    concrete state pytree): restored arrays land on the same mesh/sharding
+    as the target's arrays."""
     import orbax.checkpoint as ocp
+
+    def abstractify(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        return x
+
     ckptr = ocp.StandardCheckpointer()
-    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
+    abstract = jax.tree_util.tree_map(abstractify, target)
     return ckptr.restore(os.path.abspath(path), abstract)
 
 

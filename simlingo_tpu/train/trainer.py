@@ -200,11 +200,20 @@ def train(cfg: TrainConfig,
     mask = ts.trainable_mask(params, ts.production_trainable)
     opt = ts.make_masked_optimizer(cfg.optimizer, mask)
     state = ts.init_train_state(params, opt)
+    # place every remaining single-device leaf (optimizer counters, step) on
+    # the mesh replicated, so the whole state has a consistent device set
+    # (required for jit with explicitly-sharded inputs and for restore)
+    from jax.sharding import NamedSharding, PartitionSpec
+    rep = NamedSharding(mesh, PartitionSpec())
+    state = jax.tree_util.tree_map(
+        lambda x: x if isinstance(getattr(x, "sharding", None), NamedSharding)
+        else jax.device_put(x, rep), state)
     step_fn = ts.make_train_step(model_cfg, opt, compute_dtype=compute_dtype,
                                  trainable_mask_tree=mask, donate=True)
 
     run_dir = os.path.join(cfg.output_dir, cfg.name)
     ckpt_dir = os.path.join(run_dir, "checkpoints")
+    os.makedirs(run_dir, exist_ok=True)
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         json.dump(to_dict(cfg), f, indent=2, default=str)
     _dump_git_state(run_dir)
@@ -233,7 +242,10 @@ def train(cfg: TrainConfig,
         tok = SimLingoTokenizer(cfg.tokenizer_path)
         buckets, datasets = build_buckets(cfg)
         sampler = WeightedBucketSampler(buckets, seed=cfg.seed)
-        ccfg = CollateConfig(max_text_len=cfg.data.max_text_len)
+        n_img_tokens = (model_cfg.vit.tokens_per_patch_image
+                        * cfg.data.base.max_num_grid)
+        ccfg = CollateConfig(max_text_len=cfg.data.max_text_len,
+                             num_image_tokens=n_img_tokens)
         steps_per_epoch = max(1, sampler.num_samples // batch_size)
         total_steps = (cfg.max_steps if cfg.max_steps > 0
                        else steps_per_epoch * cfg.max_epochs)
