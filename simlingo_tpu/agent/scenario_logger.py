@@ -31,8 +31,8 @@ def rdp_simplify(points: np.ndarray, epsilon: float = 0.5) -> np.ndarray:
         if norm < 1e-9:
             dists = np.linalg.norm(pts - start, axis=1)
         else:
-            dists = np.abs(np.cross(np.broadcast_to(d, (len(pts), 2)),
-                                    start - pts)) / norm
+            rel = start - pts
+            dists = np.abs(d[0] * rel[:, 1] - d[1] * rel[:, 0]) / norm
         i = int(np.argmax(dists))
         if dists[i] > epsilon:
             left = rec(pts[: i + 1])

@@ -261,6 +261,12 @@ def train(cfg: TrainConfig,
     prefetch = Prefetcher(make_batch, start_step,
                           num_workers=max(1, cfg.data.num_workers))
 
+    from simlingo_tpu.train.visualise import VisualiseCallback
+    viz = VisualiseCallback(cfg.visualise_every_n_steps,
+                            os.path.join(run_dir, "viz"))
+    eval_step = ts.make_eval_step(model_cfg, compute_dtype=compute_dtype) \
+        if cfg.visualise_every_n_steps > 0 else None
+
     # ---- loop ----
     rng = jax.random.PRNGKey(cfg.seed)
     last_metrics: Dict[str, float] = {}
@@ -284,6 +290,13 @@ def train(cfg: TrainConfig,
             if (step + 1) % cfg.checkpoint_every_n_steps == 0:
                 ckpt.save_checkpoint(ckpt_dir, state, step + 1,
                                      keep=cfg.keep_checkpoints)
+            if eval_step is not None and viz.every > 0 \
+                    and (step + 1) % viz.every == 0:
+                try:
+                    _, preds = eval_step(state["params"], batch)
+                    viz.maybe_plot(step + 1, batch, preds)
+                except Exception as e:   # visualisation must never kill a run
+                    print(f"visualise failed: {e}")
     finally:
         prefetch.close()
 

@@ -54,7 +54,7 @@ class VisualiseCallback:
         self.out_dir = out_dir
 
     def maybe_plot(self, step: int, example, preds: Dict[str, Any]) -> Optional[str]:
-        if self.every <= 0 or step % self.every != 0:
+        if self.every <= 0:
             return None
         route = np.asarray(preds["route"][0])
         wps = np.asarray(preds["speed_wps"][0])

@@ -91,3 +91,15 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
     state2, m = step(restored, ex, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
     assert ckpt.latest_checkpoint(str(tmp_path)) == path
+
+
+def test_visualise_callback(tmp_path):
+    from simlingo_tpu.train.visualise import VisualiseCallback
+    cfg = SimLingoConfig.tiny()
+    params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
+    ex = synthetic_example(cfg, batch=1, seq_len=96, num_patches=1)
+    _, preds = simlingo.forward_loss(params, ex, cfg)
+    viz = VisualiseCallback(1, str(tmp_path))
+    path = viz.maybe_plot(1, ex, preds)
+    import os
+    assert path and os.path.getsize(path) > 1000
