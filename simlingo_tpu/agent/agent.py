@@ -52,9 +52,21 @@ class LingoAgent:
         from simlingo_tpu.infer import runner
 
         self.cfg = agent_cfg or AgentConfig()
-        self.model_cfg = model_cfg
-        self.params = params
         self.tok = tokenizer or SimLingoTokenizer()
+        # the model's image-token id must match the tokenizer's (checkpoint
+        # fidelity, SURVEY hard part #1)
+        if model_cfg.img_context_token_id != self.tok.img_context_id:
+            model_cfg = dataclasses.replace(
+                model_cfg, img_context_token_id=self.tok.img_context_id)
+        self.model_cfg = model_cfg
+        # fold LoRA into the base weights: removes low-rank matmuls from the
+        # per-frame decode loop
+        if "lora" in params and model_cfg.llm.lora_r > 0:
+            from simlingo_tpu.models import qwen2 as _q
+            params = dict(params)
+            params["llm"] = _q.merge_lora(params["llm"], params.pop("lora"),
+                                          model_cfg.llm)
+        self.params = params
         self.max_prompt_len = max_prompt_len
         self.controller = VehicleController(self.cfg)
         self.ukf = EgoUKF(dt=1.0 / self.cfg.carla_fps)

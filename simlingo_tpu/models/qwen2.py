@@ -119,6 +119,26 @@ def init_lora_params(key, cfg: Qwen2Config, dtype=jnp.float32) -> Dict[str, Any]
     return p
 
 
+def merge_lora(params: Dict[str, Any], lora_params: Dict[str, Any],
+               cfg: Qwen2Config) -> Dict[str, Any]:
+    """Fold LoRA adapters into the base weights (W += (alpha/r) * A @ B).
+
+    Used at inference: removes the per-layer low-rank matmuls from the
+    decode hot loop (the reference merges via peft before export).
+    """
+    import copy
+    scale = cfg.lora_alpha / cfg.lora_r
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    for i_str, layer in lora_params["layers"].items():
+        lp = out["layers"][i_str]
+        for name, ab in layer.items():
+            tgt = lp["attn"] if name in ("q", "k", "v", "o") else lp["mlp"]
+            w = tgt[name]["w"]
+            tgt[name] = dict(tgt[name])
+            tgt[name]["w"] = w + scale * (ab["a"] @ ab["b"]).astype(w.dtype)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------

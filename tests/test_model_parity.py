@@ -144,3 +144,23 @@ def test_qwen2_kv_cache_decode_matches_full_forward():
             causal=True, cache=cache)
         np.testing.assert_allclose(np.asarray(step[:, 0]), np.asarray(full[:, t]),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_lora_merge_equals_runtime_lora():
+    cfg = qwen2.Qwen2Config.tiny()
+    cfg = __import__("dataclasses").replace(cfg, lora_r=4, lora_alpha=8)
+    params = qwen2.init_params(jax.random.PRNGKey(0), cfg)
+    lora = qwen2.init_lora_params(jax.random.PRNGKey(1), cfg)
+    # give B nonzero values so the adapters actually do something
+    lora = jax.tree_util.tree_map(
+        lambda x: x + 0.01 if x.ndim == 2 else x, lora)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, cfg.hidden_size)) * 0.1
+    pos = jnp.tile(jnp.arange(8, dtype=jnp.int32), (2, 1))
+    with_lora, _ = qwen2.forward(params, x, cfg, pos, lora_params=lora)
+    merged = qwen2.merge_lora(params, lora, cfg)
+    with_merged, _ = qwen2.forward(merged, x, cfg, pos)
+    np.testing.assert_allclose(np.asarray(with_lora), np.asarray(with_merged),
+                               atol=2e-5, rtol=2e-5)
+    # base params untouched
+    without, _ = qwen2.forward(params, x, cfg, pos)
+    assert np.abs(np.asarray(without) - np.asarray(with_lora)).max() > 1e-6
