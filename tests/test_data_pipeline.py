@@ -182,3 +182,21 @@ def test_image_augmenter_deterministic():
     assert not np.array_equal(a, img)   # something changed at prob=1
     c = clahe_enhance(img)
     assert c.shape == img.shape
+
+
+def test_collate_overflow_raises():
+    from simlingo_tpu.data.prompts import TokenizedChat, batch_language_label
+    chat = TokenizedChat(ids=np.arange(50, dtype=np.int32),
+                         loss_mask=np.zeros(50, bool))
+    with pytest.raises(ValueError, match="tokens > max_len"):
+        batch_language_label([chat], [{}], pad_id=0, max_len=32)
+
+
+def test_multiple_placeholder_types():
+    from simlingo_tpu.data.prompts import find_placeholder_slots
+    ids = np.asarray([5, 300, 300, 7, 301, 8], np.int32)
+    values = {300: np.ones((2, 2)), 301: np.full((1, 2), 3.0)}
+    slots, coords = find_placeholder_slots(ids, values, 8)
+    got = {int(s) for s in slots if s >= 0}
+    assert got == {1, 2, 4}
+    assert coords[(slots == 4).argmax()].tolist() == [3.0, 3.0]

@@ -113,3 +113,35 @@ def test_sampling_options():
     cfg = GenerateConfig(temperature=2.0)
     draws = {pick(jax.random.PRNGKey(i), cfg) for i in range(50)}
     assert len(draws) > 1
+
+
+def test_generation_with_lora():
+    """Decode path applies LoRA adapters (and merging gives same tokens)."""
+    import dataclasses
+    cfg0 = SimLingoConfig.tiny()
+    llm = dataclasses.replace(cfg0.llm, lora_r=4, lora_alpha=8)
+    cfg = dataclasses.replace(cfg0, llm=llm)
+    params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
+    # nonzero B so LoRA changes outputs
+    params["lora"] = jax.tree_util.tree_map(
+        lambda x: x + 0.02 if x.ndim == 2 else x, params["lora"])
+    ex = synthetic_example(cfg, batch=1, seq_len=80, num_patches=1,
+                           seed=5, left_pad=True)
+    gen_cfg = runner.GenerateConfig(max_new_tokens=4, eos_token_id=3,
+                                    cache_dtype=jnp.float32)
+    out_lora = runner.generate_and_drive(params, ex.driving_input, cfg,
+                                         gen_cfg, compute_dtype=jnp.float32)
+    # merged weights, no lora tree
+    merged = dict(params)
+    merged["llm"] = qwen2.merge_lora(params["llm"], merged.pop("lora"),
+                                     cfg.llm)
+    out_merged = runner.generate_and_drive(merged, ex.driving_input, cfg,
+                                           gen_cfg, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out_lora.language_tokens),
+                                  np.asarray(out_merged.language_tokens))
+    # and differs from the no-lora model
+    base = {k: v for k, v in params.items() if k != "lora"}
+    out_base = runner.generate_and_drive(base, ex.driving_input, cfg,
+                                         gen_cfg, compute_dtype=jnp.float32)
+    assert not np.allclose(np.asarray(out_lora.route),
+                           np.asarray(out_base.route))
