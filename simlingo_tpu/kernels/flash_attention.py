@@ -283,12 +283,14 @@ def _flash_bwd(causal, scale, block_q, block_k, res, dout):
     _, HK, S, _ = k.shape
     group = HQ // HK
 
-    # The backward materializes three [bq, bk] fp32 tiles (p, dp, ds); cap
-    # the inner q-block so the scoped VMEM stays under the 16 MB limit even
-    # when the forward used a single full-sequence block.
-    bq_inner = min(block_q, 384)
-    while T % bq_inner != 0:
-        bq_inner -= 128
+    # The backward materializes ~three [bq, bk] fp32 tiles (p, dp, ds); pick
+    # the largest inner q-block that divides T and keeps those tiles within
+    # ~9 MB of scoped VMEM (16 MB limit minus resident q/do/o/dq buffers).
+    budget_rows = max((9 * 1024 * 1024) // (12 * block_k), 8)
+    bq_inner = 8
+    for d in range(8, min(block_q, budget_rows) + 1, 8):
+        if T % d == 0:
+            bq_inner = d
     block_q = bq_inner
 
     # One fused kernel: dq accumulated in a revisited block across kv steps;

@@ -103,3 +103,29 @@ def test_visualise_callback(tmp_path):
     path = viz.maybe_plot(1, ex, preds)
     import os
     assert path and os.path.getsize(path) > 1000
+
+
+def test_bf16_training_tracks_fp32():
+    """SURVEY hard part #4: bf16 compute (no loss scaling) must track fp32
+    loss trajectories on the debug config."""
+    cfg = SimLingoConfig.tiny()
+    ex = synthetic_example(cfg, batch=2, seq_len=96, num_patches=1)
+    ocfg = ts.OptimizerConfig(lr=1e-3, total_steps=20, grad_clip=1.0)
+
+    def run(dtype):
+        params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
+        opt = ts.make_optimizer(ocfg)
+        state = ts.init_train_state(params, opt)
+        step = ts.make_train_step(cfg, opt, compute_dtype=dtype, donate=False)
+        losses = []
+        for i in range(6):
+            state, m = step(state, ex, jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+        return np.asarray(losses)
+
+    l32 = run(jnp.float32)
+    l16 = run(jnp.bfloat16)
+    assert np.isfinite(l16).all()
+    # same direction and within a loose band of the fp32 trajectory
+    assert l16[-1] < l16[0]
+    np.testing.assert_allclose(l16, l32, rtol=0.15)
