@@ -65,10 +65,9 @@ try:
             pos = self.planner.convert_gps_to_carla(gps)
             tp, tp_next = self.planner.target_points(pos[:2], compass)
 
-            # privileged actors from the world (MAP track)
-            actors = []
-            world = carla.Client("localhost", 2000).get_world() \
-                if False else None  # populated by the harness runtime hooks
+            # privileged actors: the MAP-track harness exposes the world
+            # via CarlaDataProvider; gather nearby dynamic actors in ego frame
+            actors = self._gather_actors(pos, compass)
 
             obs = ExpertObservation(
                 pos_global=pos[:2], theta=compass, speed=speed,
@@ -85,6 +84,30 @@ try:
             control.throttle = float(out["throttle"])
             control.brake = float(out["brake"])
             return control
+
+        def _gather_actors(self, ego_pos, ego_yaw):
+            try:
+                from srunner.scenariomanager.carla_data_provider import (
+                    CarlaDataProvider)
+                from simlingo_tpu.utils.geometry import inverse_conversion_2d
+                import numpy as _np
+                world = CarlaDataProvider.get_world()
+                out = []
+                for actor in world.get_actors().filter("*vehicle*"):
+                    loc = actor.get_location()
+                    rel = inverse_conversion_2d(
+                        _np.array([loc.x, loc.y]), ego_pos[:2], ego_yaw)
+                    if _np.linalg.norm(rel) < 50:
+                        vel = actor.get_velocity()
+                        out.append({
+                            "position": rel.tolist(),
+                            "speed": float(_np.hypot(vel.x, vel.y)),
+                            "length": 4.5,
+                            "type_id": actor.type_id,
+                        })
+                return out
+            except Exception:
+                return []
 
         def destroy(self, results=None):
             self.collector.destroy()

@@ -286,9 +286,10 @@ def _flash_bwd(causal, scale, block_q, block_k, res, dout):
     # The backward materializes ~three [bq, bk] fp32 tiles (p, dp, ds); pick
     # the largest inner q-block that divides T and keeps those tiles within
     # ~9 MB of scoped VMEM (16 MB limit minus resident q/do/o/dq buffers).
-    budget_rows = max((9 * 1024 * 1024) // (12 * block_k), 8)
-    bq_inner = 8
-    for d in range(8, min(block_q, budget_rows) + 1, 8):
+    # lane-dim dynamic slices (lse) must be 128-aligned on TPU
+    budget_rows = max((9 * 1024 * 1024) // (12 * block_k), 128)
+    bq_inner = 128
+    for d in range(128, min(block_q, budget_rows) + 1, 128):
         if T % d == 0:
             bq_inner = d
     block_q = bq_inner
