@@ -57,7 +57,7 @@ def test_cached_decode_token_parity():
     ex = synthetic_example(cfg, batch=2, seq_len=80, num_patches=1,
                            seed=7, left_pad=True)
     di = ex.driving_input
-    gen_cfg = runner.GenerateConfig(max_new_tokens=6, eos_token_id=3,
+    gen_cfg = runner.GenerateConfig(max_new_tokens=4, eos_token_id=3,
                                     cache_dtype=jnp.float32)
 
     out = jax.jit(

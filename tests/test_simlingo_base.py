@@ -112,7 +112,7 @@ def test_base_model_forward_and_loss_improves():
 
     p = params
     l0 = float(loss_fn(p))
-    for _ in range(10):
+    for _ in range(6):
         g = jax.grad(loss_fn)(p)
         updates, opt_state = opt.update(g, opt_state)
         p = optax.apply_updates(p, updates)

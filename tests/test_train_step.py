@@ -22,7 +22,7 @@ def test_train_step_reduces_loss_single_device():
     rng = jax.random.PRNGKey(1)
 
     losses = []
-    for i in range(8):
+    for i in range(6):
         state, m = step(state, ex, jax.random.fold_in(rng, i))
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
@@ -118,7 +118,7 @@ def test_bf16_training_tracks_fp32():
         state = ts.init_train_state(params, opt)
         step = ts.make_train_step(cfg, opt, compute_dtype=dtype, donate=False)
         losses = []
-        for i in range(6):
+        for i in range(4):
             state, m = step(state, ex, jax.random.PRNGKey(i))
             losses.append(float(m["loss"]))
         return np.asarray(losses)
