@@ -149,6 +149,18 @@ class LingoAgent:
         t0 = time.perf_counter()
         self.step_count += 1
 
+        if self.step_count <= self.cfg.initial_frames_delay:
+            return {"steer": 0.0, "throttle": 0.0, "brake": True,
+                    "route": np.zeros((20, 2)), "speed_wps": np.zeros((10, 2)),
+                    "language": "", "latency_s": 0.0}
+
+        if self.cfg.jpeg_roundtrip:
+            import cv2
+            ok, buf = cv2.imencode(".jpg", frame.rgb[:, :, ::-1])
+            if ok:
+                frame = dataclasses.replace(
+                    frame, rgb=cv2.imdecode(buf, cv2.IMREAD_COLOR)[:, :, ::-1])
+
         di = self.make_input(frame)
         if self.cfg.use_cot:
             out = self._generate(self.params, di)

@@ -16,6 +16,12 @@ class AgentConfig:
     use_cot: bool = True                 # commentary chain-of-thought per frame
 
     carla_fps: int = 20
+    # JPEG round-trip the camera frame so inference sees the same compression
+    # artifacts as the jpg training data (reference agent_simlingo.py:464-466)
+    jpeg_roundtrip: bool = True
+    # no-op control for the first ~2 s while the simulator settles
+    # (reference config_simlingo.py:16 inital_frames_delay)
+    initial_frames_delay: int = 40
     stuck_threshold: int = 800
     creep_duration: int = 15
     creep_throttle: float = 0.4

@@ -87,7 +87,8 @@ def test_agent_replay_end_to_end(tmp_path):
     params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
 
     import jax.numpy as jnp
-    acfg = AgentConfig(use_cot=True, max_new_tokens=4)
+    acfg = AgentConfig(use_cot=True, max_new_tokens=4,
+                       initial_frames_delay=0)
     agent = LingoAgent(params, cfg, acfg, tokenizer=tok,
                        max_prompt_len=256, compute_dtype=jnp.float32)
     results = replay_route(agent, route_dir, max_frames=3, start_frame=5)
