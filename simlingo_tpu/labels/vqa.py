@@ -120,11 +120,82 @@ def q_plan(current: Dict, boxes: Sequence[Dict]) -> List[Dict]:
     return [{"Q": q, "A": a}]
 
 
+def q_object_motion(current: Dict, boxes: Sequence[Dict]) -> List[Dict]:
+    """Prediction chain: per-object moving status (DriveLM 'prediction')."""
+    out: List[Dict] = []
+    for b in boxes[:4]:
+        kind = b.get("class", "").split(".")[0]
+        if kind not in ("vehicle", "walker"):
+            continue
+        desc = _object_description(b)
+        q = f"What is the moving status of {desc}?"
+        speed = float(b.get("speed", 0.0))
+        if speed < 0.2:
+            a = f"{desc.capitalize()} is not moving."
+        else:
+            yaw = float(b.get("yaw", 0.0))
+            heading = ("in the same direction as the ego vehicle"
+                       if abs(yaw) < 0.6 else
+                       "towards the ego vehicle" if abs(yaw) > 2.5 else
+                       "across the ego vehicle's path")
+            a = f"{desc.capitalize()} is driving at {speed:.1f} m/s {heading}."
+        out.append({"Q": q, "A": a})
+    return out
+
+
+def q_hazard_ahead(current: Dict, boxes: Sequence[Dict]) -> List[Dict]:
+    q = "Is there a hazard the ego vehicle must react to?"
+    if current.get("vehicle_hazard"):
+        a = "Yes, a vehicle ahead requires the ego vehicle to react."
+    elif current.get("walker_hazard"):
+        a = "Yes, a pedestrian requires the ego vehicle to react."
+    elif current.get("light_hazard"):
+        a = "Yes, the ego vehicle must stop for the red traffic light."
+    elif current.get("stop_sign_hazard"):
+        a = "Yes, the ego vehicle must stop at the stop sign."
+    else:
+        a = "No, there is no hazard the ego vehicle must react to."
+    return [{"Q": q, "A": a}]
+
+
+def q_ego_action(current: Dict, boxes: Sequence[Dict]) -> List[Dict]:
+    """Behaviour chain: current ego action from controls."""
+    q = "What actions is the ego vehicle taking?"
+    steer = float(current.get("steer", 0.0))
+    if steer > 0.1:
+        lat = "steering to the right"
+    elif steer < -0.1:
+        lat = "steering to the left"
+    else:
+        lat = "going straight"
+    if current.get("brake"):
+        lon = "braking"
+    elif float(current.get("throttle", 0.0)) > 0.4:
+        lon = "accelerating"
+    else:
+        lon = "keeping its speed"
+    return [{"Q": q, "A": f"The ego vehicle is {lat} and {lon}."}]
+
+
+def q_speed_state(current: Dict, boxes: Sequence[Dict]) -> List[Dict]:
+    q = "What is the current speed of the ego vehicle?"
+    v = float(current.get("speed", 0.0))
+    if v < 0.2:
+        a = "The ego vehicle is standing still."
+    else:
+        a = f"The ego vehicle is driving at about {v:.1f} m/s."
+    return [{"Q": q, "A": a}]
+
+
 QUESTION_BUILDERS: Dict[str, Callable] = {
     "perception": q_important_objects,
+    "perception_motion": q_object_motion,
     "traffic_light": q_traffic_light,
     "stop_sign": q_stop_sign,
     "junction": q_junction,
+    "prediction_hazard": q_hazard_ahead,
+    "behaviour": q_ego_action,
+    "behaviour_speed": q_speed_state,
     "planning_braking": q_braking,
     "planning_action": q_plan,
 }

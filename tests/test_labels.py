@@ -217,3 +217,19 @@ def test_eval_set_build_and_match(route, tmp_path):
     matched = match_index(idx, entries)
     assert matched, "no eval samples matched the index"
     assert all(isinstance(t, tuple) for _, t in matched)
+
+
+def test_vqa_extended_chains():
+    boxes = [{"class": "vehicle", "position": [8.0, 0.5, 0.0],
+              "color_name": "blue", "speed": 4.0, "yaw": 0.1},
+             {"class": "walker", "position": [5.0, -4.0, 0.0], "speed": 0.0}]
+    rec = vqa.generate_vqa(
+        {"speed": 6.3, "target_speed": 5.0, "vehicle_hazard": True,
+         "steer": -0.3, "throttle": 0.6, "brake": False, "command": 4}, boxes)
+    flat = {cat: sub for cat, sub in rec["QA"].items()}
+    motion = " ".join(q["A"] for q in flat["perception_motion"])
+    assert "4.0 m/s" in motion and "not moving" in motion
+    assert "vehicle ahead requires" in flat["prediction_hazard"][0]["A"]
+    assert "steering to the left" in flat["behaviour"][0]["A"]
+    assert "accelerating" in flat["behaviour"][0]["A"]
+    assert "6.3 m/s" in flat["behaviour_speed"][0]["A"]
