@@ -24,12 +24,18 @@ try:
         def setup(self, path_to_conf_file, route_index=None):
             from simlingo_tpu.agent.data_agent import DataCollector
             from simlingo_tpu.agent.route_planner import CarlaRoutePlanner
+            from simlingo_tpu.expert.route_planner import (
+                PrivilegedRoutePlanner)
 
             self.track = autonomous_agent.Track.MAP
             save_path = os.environ.get("SAVE_PATH", path_to_conf_file)
             self.collector = DataCollector(save_path)
             self.planner = CarlaRoutePlanner(min_distance=7.5,
                                              max_distance=50.0)
+            # densified 0.1 m route the expert steers on (reference
+            # privileged_route_planner.py); lane changes / obstacle
+            # bypasses are applied here
+            self.priv_planner = PrivilegedRoutePlanner()
             self.initialized = False
 
         def sensors(self):
@@ -55,6 +61,11 @@ try:
 
             if not self.initialized:
                 self.planner.set_route(self._global_plan_world_coord)
+                sparse = np.asarray(
+                    [p for p, _ in self.planner.route])[:, :2]
+                self.priv_planner.set_route(sparse)
+                for obstacle in self._static_obstacles():
+                    self.priv_planner.add_obstacle(obstacle)
                 self.initialized = True
 
             rgb = input_data["rgb_front"][1][:, :, :3][:, :, ::-1]
@@ -69,13 +80,13 @@ try:
             # via CarlaDataProvider; gather nearby dynamic actors in ego frame
             actors = self._gather_actors(pos, compass)
 
+            inp = self.priv_planner.ego_inputs(pos[:2], compass)
             obs = ExpertObservation(
                 pos_global=pos[:2], theta=compass, speed=speed,
                 speed_limit=8.0,
-                route=np.asarray([p for p, _ in self.planner.route])[:, :2],
-                route_original=np.asarray(
-                    [p for p, _ in self.planner.route])[:, :2],
-                target_point=tp, target_point_next=tp_next, actors=actors)
+                route=inp["route"], route_original=inp["route_original"],
+                target_point=tp, target_point_next=tp_next, actors=actors,
+                changed_route=inp["changed_route"])
             out = self.collector.tick(obs, rgb=np.ascontiguousarray(rgb),
                                       rgb_augmented=np.ascontiguousarray(
                                           rgb_aug))
@@ -84,6 +95,18 @@ try:
             control.throttle = float(out["throttle"])
             control.brake = float(out["brake"])
             return control
+
+        def _static_obstacles(self):
+            """Global positions of static props blocking the route
+            (parked-vehicle scenarios) to bypass via the planner."""
+            try:
+                from srunner.scenariomanager.carla_data_provider import (
+                    CarlaDataProvider)
+                world = CarlaDataProvider.get_world()
+                return [[a.get_location().x, a.get_location().y]
+                        for a in world.get_actors().filter("*static.prop*")]
+            except Exception:
+                return []
 
         def _gather_actors(self, ego_pos, ego_yaw):
             try:

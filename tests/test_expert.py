@@ -5,6 +5,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from simlingo_tpu.expert.autopilot import AutoPilot, ExpertObservation
 from simlingo_tpu.expert.idm import (IDMConfig, expert_target_speed,
@@ -131,3 +132,76 @@ def test_data_collector_produces_trainable_dataset(tmp_path):
     s = ds.get(0, np.random.RandomState(0))
     assert s.waypoints.shape == (10, 2)
     assert np.isfinite(s.waypoints).all()
+
+
+def test_densify_route_spacing():
+    from simlingo_tpu.expert.route_planner import densify_route
+    sparse = np.array([[0, 0], [10, 0], [10, 0], [20, 5], [40, 5]], float)
+    dense = densify_route(sparse, spacing=0.1)
+    d = np.linalg.norm(np.diff(dense, axis=0), axis=1)
+    # never sparser than requested; exactly 0.1 except at polyline corners
+    # (chord < arc there)
+    assert d.max() <= 0.1 + 1e-9
+    assert np.median(d) == pytest.approx(0.1, abs=1e-6)
+    # endpoints preserved
+    np.testing.assert_allclose(dense[0], [0, 0])
+    assert np.linalg.norm(dense[-1] - [40, 5]) < 0.15
+
+
+def test_lane_change_geometry():
+    from simlingo_tpu.expert.route_planner import (densify_route,
+                                                   plan_lane_change)
+    route = densify_route(np.array([[0, 0], [100, 0]], float))
+    new = plan_lane_change(route, start_idx=100, lateral_shift=3.5,
+                           transition_length=25.0, hold_length=None)
+    # before the change: untouched; after: exactly one lane left (+y)
+    np.testing.assert_allclose(new[:100], route[:100], atol=1e-9)
+    np.testing.assert_allclose(new[-1], [route[-1, 0], 3.5], atol=1e-6)
+    # smooth: per-step lateral jump bounded (no kinks)
+    dy = np.abs(np.diff(new[:, 1]))
+    assert dy.max() < 3.5 * np.pi / 2 / 250 * 1.05
+
+
+def test_obstacle_bypass_merges_back():
+    from simlingo_tpu.expert.route_planner import (densify_route,
+                                                   plan_obstacle_bypass)
+    route = densify_route(np.array([[0, 0], [120, 0]], float))
+    # obstacle slightly left of the route at x=60 -> bypass to the right
+    new, changed = plan_obstacle_bypass(route, [60.0, 0.5], clearance=2.5)
+    assert changed
+    i = np.argmin(np.abs(new[:, 0] - 60.0))
+    assert new[i, 1] < -1.5            # shifted away (right)
+    np.testing.assert_allclose(new[-1], route[-1], atol=1e-6)  # merged back
+    np.testing.assert_allclose(new[:100], route[:100], atol=1e-9)
+    # far obstacle -> no change
+    same, changed2 = plan_obstacle_bypass(route, [60.0, 8.0], clearance=2.5)
+    assert not changed2 and np.allclose(same, route)
+
+
+def test_planner_progress_and_expert_tick(tmp_path):
+    from simlingo_tpu.expert.route_planner import PrivilegedRoutePlanner
+    planner = PrivilegedRoutePlanner()
+    planner.set_route(np.array([[0, 0], [200, 0]], float), command=4)
+    planner.add_obstacle([50.0, -0.3])
+
+    pilot = AutoPilot(save_path=str(tmp_path), data_save_freq=1)
+    idx_prev = -1
+    for step, x in enumerate(np.arange(0.0, 30.0, 2.0)):
+        inp = planner.ego_inputs([x, 0.0], 0.0)
+        assert planner.idx >= idx_prev          # forward-only progress
+        idx_prev = planner.idx
+        obs = ExpertObservation(
+            pos_global=np.array([x, 0.0]), theta=0.0, speed=5.0,
+            speed_limit=8.0, route=inp["route"],
+            route_original=inp["route_original"],
+            target_point=inp["target_point"],
+            target_point_next=inp["target_point_next"],
+            command=inp["command"], changed_route=inp["changed_route"])
+        out = pilot.tick(obs)
+        assert -1 <= out["steer"] <= 1
+    # measurement schema carries the modified-route flag
+    rec = json.load(gzip.open(os.path.join(tmp_path, "measurements",
+                                           "0000.json.gz"), "rt"))
+    assert rec["changed_route"] is True
+    # target point ~30 m ahead in ego frame
+    assert abs(inp["target_point"][0] - 30.0) < 1.0
