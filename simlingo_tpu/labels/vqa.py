@@ -187,9 +187,36 @@ def q_speed_state(current: Dict, boxes: Sequence[Dict]) -> List[Dict]:
     return [{"Q": q, "A": a}]
 
 
+def q_object_location(current: Dict, boxes: Sequence[Dict]) -> List[Dict]:
+    """Perception chain: per-object relative location + distance."""
+    out: List[Dict] = []
+    for b in boxes[:4]:
+        kind = b.get("class", "").split(".")[0]
+        if kind not in ("vehicle", "walker"):
+            continue
+        color = b.get("color_name") or ""
+        base = {"walker": "pedestrian"}.get(kind, kind.replace("_", " "))
+        name = f"the {color} {base}".replace("  ", " ").strip()
+        pos = np.asarray(b.get("position", [0, 0, 0]))[:2]
+        dist = float(np.hypot(pos[0], pos[1]))
+        out.append({"Q": f"Where is {name} relative to the ego vehicle?",
+                    "A": f"{name.capitalize()} is "
+                         f"{_location_phrase(pos)}, about {dist:.0f} m away."})
+    return out
+
+
+def q_navigation(current: Dict, boxes: Sequence[Dict]) -> List[Dict]:
+    from simlingo_tpu.data.measurements import COMMAND_MAP
+    q = "What is the current navigation command?"
+    cmd = COMMAND_MAP.get(current.get("command", 4), "follow the road")
+    return [{"Q": q, "A": f"The navigation command is to {cmd}."}]
+
+
 QUESTION_BUILDERS: Dict[str, Callable] = {
     "perception": q_important_objects,
+    "perception_location": q_object_location,
     "perception_motion": q_object_motion,
+    "navigation": q_navigation,
     "traffic_light": q_traffic_light,
     "stop_sign": q_stop_sign,
     "junction": q_junction,

@@ -233,3 +233,33 @@ def test_vqa_extended_chains():
     assert "steering to the left" in flat["behaviour"][0]["A"]
     assert "accelerating" in flat["behaviour"][0]["A"]
     assert "6.3 m/s" in flat["behaviour_speed"][0]["A"]
+
+
+def test_vqa_location_and_navigation_chains():
+    boxes = [{"class": "vehicle", "position": [12.0, 0.5, 0.0],
+              "color_name": "red", "speed": 3.0}]
+    rec = vqa.generate_vqa({"command": 1}, boxes)
+    loc = rec["QA"]["perception_location"][0]
+    assert "red vehicle" in loc["Q"]
+    assert "12 m away" in loc["A"] and "front" in loc["A"]
+    nav = rec["QA"]["navigation"][0]["A"]
+    assert nav == ("The navigation command is to go left at the next "
+                   "intersection.")
+
+
+def test_planner_request_lane_change():
+    import numpy as np
+    from simlingo_tpu.expert.route_planner import PrivilegedRoutePlanner
+    p = PrivilegedRoutePlanner()
+    p.set_route(np.array([[0, 0], [120, 0]], float))
+    p.run_step([10.0, 0.0])
+    p.request_lane_change("right", lane_width=3.5, at_distance=10.0)
+    assert p.changed_route
+    # past the transition the route sits one lane to the right (-y)
+    tail = p.route[p.route[:, 0] > 60.0]
+    np.testing.assert_allclose(tail[:, 1], -3.5, atol=1e-6)
+    # behind the ego: untouched
+    head = p.route[p.route[:, 0] < 9.0]
+    np.testing.assert_allclose(head[:, 1], 0.0, atol=1e-9)
+    # original route preserved for the measurement schema
+    np.testing.assert_allclose(p.route_original[:, 1], 0.0, atol=1e-9)
