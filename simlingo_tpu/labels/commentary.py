@@ -39,6 +39,8 @@ DEFAULT_TEMPLATES: Dict[str, List[str]] = {
     "go_straight": ["and goes straight at the intersection"],
     "lane_change_left": ["and changes to the left lane"],
     "lane_change_right": ["and changes to the right lane"],
+    "avoid_obstacle": ["and steers around the obstacle on the route"],
+    "walker_crossing": ["because of the pedestrian crossing the road"],
 }
 
 COMMAND_ROUTE_KEY = {1: "turn_left", 2: "turn_right", 3: "go_straight",
@@ -94,6 +96,8 @@ class CommentaryGenerator:
             cause = " " + self._pick("red_light")
         elif current.get("stop_sign_hazard") or current.get("stop_sign_close"):
             cause = " " + self._pick("stop_sign")
+        elif current.get("walker_hazard") and not obj_type:
+            cause = " " + self._pick("walker_crossing")
         elif obj_type and obj_dist is not None and obj_dist < 20:
             kind = obj_type.split(".")[0]
             cause_object = ("the pedestrian" if kind == "walker"
@@ -106,6 +110,10 @@ class CommentaryGenerator:
         # ---- route action ----
         route_key = COMMAND_ROUTE_KEY.get(current.get("command", 4),
                                           "follow_road")
+        # the expert modified the route (obstacle bypass) without a
+        # lane-change command -> describe the evasive manoeuvre
+        if current.get("changed_route") and route_key == "follow_road":
+            route_key = "avoid_obstacle"
         route = " " + self._pick(route_key)
 
         commentary = f"{action}{cause}{route}."

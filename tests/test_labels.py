@@ -263,3 +263,22 @@ def test_planner_request_lane_change():
     np.testing.assert_allclose(head[:, 1], 0.0, atol=1e-9)
     # original route preserved for the measurement schema
     np.testing.assert_allclose(p.route_original[:, 1], 0.0, atol=1e-9)
+
+
+def test_commentary_obstacle_and_walker_branches():
+    from simlingo_tpu.labels.commentary import CommentaryGenerator
+    gen = CommentaryGenerator()
+    # planner-modified route without a lane-change command
+    rec = gen.generate({"speed": 5.0, "target_speed": 5.0, "command": 4,
+                        "changed_route": True})
+    assert "steers around the obstacle" in rec["commentary"]
+    # crossing pedestrian (walker_hazard without a leading object)
+    rec2 = gen.generate({"speed": 5.0, "target_speed": 2.0,
+                         "walker_hazard": True, "command": 4})
+    assert rec2["commentary"] == ("The ego vehicle slows down because of the "
+                                  "pedestrian crossing the road and follows "
+                                  "the road.")
+    # explicit lane-change command wins over the obstacle phrasing
+    rec3 = gen.generate({"speed": 5.0, "target_speed": 5.0, "command": 5,
+                         "changed_route": True})
+    assert "changes to the left lane" in rec3["commentary"]
