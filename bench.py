@@ -109,7 +109,7 @@ def main():
     mask = ts.trainable_mask(params, ts.production_trainable)
     opt = ts.make_masked_optimizer(
         ts.OptimizerConfig(lr=3e-5, total_steps=1000, grad_clip=0.3), mask)
-    state = ts.init_train_state(params, opt)
+    state = ts.init_train_state(params, opt, trainable_mask_tree=mask)
     del params
     step = ts.make_train_step(cfg, opt, compute_dtype=jnp.bfloat16,
                               trainable_mask_tree=mask, donate=True)

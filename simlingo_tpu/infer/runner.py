@@ -112,7 +112,9 @@ def generate_and_drive(params: Dict[str, Any], di: DrivingInput,
         kv_valid=kv_valid_prompt, causal=True,
         lora_params=params.get("lora"), cache=cache)
 
-    last_hidden = hidden[:, -1]                                  # [B, H]
+    # pin the decode-carry dtype (mixed param dtypes -- e.g. int8 LLM with
+    # fp32 adaptors -- would otherwise give prefill/body dtype mismatches)
+    last_hidden = hidden[:, -1].astype(compute_dtype)            # [B, H]
 
     # ---- greedy decode (lax.while_loop with early exit) ----
     def logits_of(h):
@@ -153,7 +155,8 @@ def generate_and_drive(params: Dict[str, Any], di: DrivingInput,
             kv_valid=kv_valid, causal=True,
             lora_params=params.get("lora"), cache=cache)
         done = done | newly_done
-        return step + 1, done, tokens, h[:, 0], kv_valid, cache
+        return (step + 1, done, tokens, h[:, 0].astype(compute_dtype),
+                kv_valid, cache)
 
     carry = (jnp.zeros((), jnp.int32), done0, tokens0, last_hidden,
              kv_valid_prompt, cache)

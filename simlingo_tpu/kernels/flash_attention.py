@@ -101,14 +101,17 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
     # o_ref: [1, 1, bq, D]; lse_ref: [1, 1, STAT_SUBLANES, bq]
     qi = pl.program_id(2)
     off = off_ref[0, 0]
-    q = q_ref[0, 0].astype(jnp.float32) * scale          # [bq, D]
+    # MXU operands stay in the input dtype (bf16 in production): fp32 matmuls
+    # are emulated in multiple passes on TPU. Scale is folded into q (D=64
+    # multiplies/row beats bq*bk multiplies on the scores).
+    q = q_ref[0, 0]                                      # [bq, D]
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     bq, D = q.shape
     nk = kv_len // block_k
 
-    q_slot = off + qi * block_q + jax.lax.broadcasted_iota(
-        jnp.int32, (bq, block_k), 0)
-
     if causal:
+        q_slot = off + qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_k), 0)
         # last kv block that can contain an unmasked key for this q block
         last = (off + qi * block_q + bq - 1) // block_k + 1
         nk_eff = jnp.clip(last, 0, nk)
@@ -117,24 +120,30 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
 
     def body(j, carry):
         acc, m_prev, l_prev = carry
-        kb = k_ref[0, 0, pl.ds(j * block_k, block_k)].astype(jnp.float32)
-        vb = v_ref[0, 0, pl.ds(j * block_k, block_k)].astype(jnp.float32)
+        kb = k_ref[0, 0, pl.ds(j * block_k, block_k)]
+        vb = v_ref[0, 0, pl.ds(j * block_k, block_k)]
         s = jax.lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                            # [bq, bk]
-        kv_slot = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-        mask = valid_ref[0, 0, pl.ds(j * block_k, block_k)][None, :] != 0
+        # VPU economy: key validity as an additive [bk] bias (one add/elem);
+        # masked entries sit at ~-1e30 so exp(s - m_new) underflows to exact
+        # zero for any row with >= 1 valid key. (Rows with NO valid key --
+        # left-pad query slots at inference -- produce finite garbage that
+        # downstream never reads and whose cotangents are zero.)
+        bias = jnp.where(
+            valid_ref[0, 0, pl.ds(j * block_k, block_k)] != 0, 0.0, NEG_INF)
+        s = s + bias[None, :]
         if causal:
-            mask = mask & (kv_slot <= q_slot)
-        s = jnp.where(mask, s, NEG_INF)
+            kv_slot = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1)
+            s = jnp.where(kv_slot <= q_slot, s, NEG_INF)
         m_cur = jnp.max(s, axis=-1)                                        # [bq]
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new[:, None])
-        p = jnp.where(mask, p, 0.0)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_prev * alpha + p.sum(axis=-1)
         acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, vb, (((1,), (0,)), ((), ())),
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
@@ -166,8 +175,8 @@ def _bwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref, lse_ref,
     """
     ki = pl.program_id(2)
     off = off_ref[0, 0]
-    kb = k_ref[0, 0].astype(jnp.float32)                                  # [bk, D]
-    vb = v_ref[0, 0].astype(jnp.float32)
+    kb = k_ref[0, 0]                                                      # [bk, D]
+    vb = v_ref[0, 0]
     bk, D = kb.shape
     nq = q_len // block_q
 
@@ -176,30 +185,34 @@ def _bwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref, lse_ref,
         dq_ref[0, 0] = jnp.zeros_like(dq_ref[0, 0])
 
     kv_slot = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 1)
-    valid = valid_ref[0, 0, pl.ds(ki * block_k, bk)][None, :] != 0
+    kv_bias = jnp.where(valid_ref[0, 0, pl.ds(ki * block_k, bk)] != 0,
+                        0.0, NEG_INF)                                      # [bk]
 
     first = jnp.clip((ki * block_k - off) // block_q, 0, nq) if causal else 0
 
     def body(j, carry):
         dk, dv = carry
-        qb = q_ref[0, 0, pl.ds(j * block_q, block_q)].astype(jnp.float32)  # [bq, D]
-        dob = do_ref[0, 0, pl.ds(j * block_q, block_q)].astype(jnp.float32)
-        ob = o_ref[0, 0, pl.ds(j * block_q, block_q)].astype(jnp.float32)
-        delta = (dob * ob).sum(axis=-1)                                    # [bq]
+        # MXU operands in the input dtype (bf16): fp32 dots are emulated.
+        qb = q_ref[0, 0, pl.ds(j * block_q, block_q)]                      # [bq, D]
+        dob = do_ref[0, 0, pl.ds(j * block_q, block_q)]
+        ob = o_ref[0, 0, pl.ds(j * block_q, block_q)]
+        delta = (dob.astype(jnp.float32) * ob.astype(jnp.float32)).sum(axis=-1)
         lse = lse_ref[0, 0, 0, pl.ds(j * block_q, block_q)]                # [bq]
         s = scale * jax.lax.dot_general(
             qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        q_slot = off + j * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, bk), 0)
-        mask = valid
+        s = s + kv_bias[None, :]
         if causal:
-            mask = mask & (kv_slot <= q_slot)
-        p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)                # [bq, bk]
+            q_slot = off + j * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, bk), 0)
+            s = jnp.where(kv_slot <= q_slot, s, NEG_INF)
+        # exp(-1e30 - lse) underflows to exact zero => masked entries drop out
+        p = jnp.exp(s - lse[:, None])                                      # [bq, bk]
+        pc = p.astype(kb.dtype)
         dv = dv + jax.lax.dot_general(
-            p, dob, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            pc, dob, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
             dob, vb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None])
+        ds = (p * (dp - delta[:, None])).astype(kb.dtype)
         dk = dk + scale * jax.lax.dot_general(
             ds, qb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dq_ref[0, 0, pl.ds(j * block_q, block_q)] += scale * jax.lax.dot_general(

@@ -1,0 +1,99 @@
+"""Pallas TPU w8a16 (int8-weight, bf16-activation) matmul for decode.
+
+Why a kernel and not `x @ w_q.astype(bf16) * scale`: single-token decode of
+the 0.5B LLM is HBM-bandwidth-bound on the *weight* reads (SURVEY.md §6 —
+the reference's latency path re-forwards the prefix per token; ours is
+KV-cached, so weight bytes are the floor). XLA hoists the loop-invariant
+int8->bf16 convert out of the decode `while_loop`, materializing a bf16 copy
+in HBM and erasing the bandwidth win; a custom call cannot be hoisted, so the
+weights cross HBM at int8 width every step: ~2x decode speedup.
+
+Quantization scheme: symmetric per-output-channel int8
+    w_q[i, o] = round(w[i, o] / scale[o]),  scale[o] = max_i |w[i, o]| / 127
+
+`transpose_rhs=True` supports the tied-embedding LM head (w stored
+[vocab, hidden], per-vocab-row scales) without a second transposed copy.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def quantize_weight(w: jnp.ndarray, axis: int = 1
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """w [in, out] -> (w_q int8 [in, out], scale f32 [out]) (axis=1: per-out).
+
+    axis=0 quantizes per-row (used for [vocab, hidden] embedding tables).
+    """
+    w = np.asarray(w, np.float32) if not isinstance(w, jnp.ndarray) else w
+    red_axis = 1 - axis
+    amax = jnp.max(jnp.abs(w), axis=red_axis)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    sc = scale[None, :] if axis == 1 else scale[:, None]
+    w_q = jnp.clip(jnp.round(w / sc), -127, 127).astype(jnp.int8)
+    return w_q, scale.astype(jnp.float32)
+
+
+def _kernel(x_ref, w_ref, s_ref, o_ref, *, transpose_rhs: bool):
+    x = x_ref[...]                                    # [M, K]
+    w = w_ref[...].astype(x.dtype)                    # [K, bn] or [bn, K]
+    dims = (((1,), (1,)), ((), ())) if transpose_rhs else (((1,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(x, w, dims,
+                              preferred_element_type=jnp.float32)  # [M, bn]
+    o_ref[...] = (acc * s_ref[...][None, :]).astype(o_ref.dtype)
+
+
+def int8_matmul(x: jnp.ndarray,            # [..., K] bf16/f32
+                w_q: jnp.ndarray,          # [K, N] int8 (or [N, K] if transpose_rhs)
+                scale: jnp.ndarray,        # [N] f32
+                transpose_rhs: bool = False,
+                block_n: int = 1024,
+                out_dtype=None) -> jnp.ndarray:
+    """y[..., n] = sum_k x[..., k] * w_q[k, n] * scale[n]."""
+    orig_shape = x.shape
+    K = orig_shape[-1]
+    N = w_q.shape[0] if transpose_rhs else w_q.shape[1]
+    M = int(np.prod(orig_shape[:-1])) if len(orig_shape) > 1 else 1
+    x2 = x.reshape(M, K)
+    out_dtype = out_dtype or x.dtype
+
+    # pad M to sublane multiple; N to block multiple
+    Mp = -(-M // 8) * 8
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    block_n = min(block_n, -(-N // 128) * 128)
+    Np = -(-N // block_n) * block_n
+    if Np != N:
+        pad_w = ((0, Np - N), (0, 0)) if transpose_rhs else ((0, 0), (0, Np - N))
+        w_q = jnp.pad(w_q, pad_w)
+        scale = jnp.pad(scale, (0, Np - N))
+
+    w_spec = (pl.BlockSpec((block_n, K), lambda i: (i, 0)) if transpose_rhs
+              else pl.BlockSpec((K, block_n), lambda i: (0, i)))
+    out = pl.pallas_call(
+        functools.partial(_kernel, transpose_rhs=transpose_rhs),
+        grid=(Np // block_n,),
+        in_specs=[
+            pl.BlockSpec((Mp, K), lambda i: (0, 0)),
+            w_spec,
+            pl.BlockSpec((block_n,), lambda i: (i,)),
+        ],
+        out_specs=pl.BlockSpec((Mp, block_n), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(x2, w_q, scale)
+    return out[:M, :N].reshape(orig_shape[:-1] + (N,))

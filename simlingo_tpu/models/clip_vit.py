@@ -112,6 +112,8 @@ def encode(params, images: jnp.ndarray, cfg: CLIPViTConfig) -> jnp.ndarray:
     class _Patch:  # reuse InternViT patchify with a CLIP-shaped config
         grid = cfg.grid
         patch_size = cfg.patch_size
+    # match the policy-cast weight dtype (fp32 pixels would promote the tower)
+    images = images.astype(params["patch_embed"]["w"].dtype)
     x = L.linear(params["patch_embed"], _patchify(images, _Patch))
     B = x.shape[0]
     cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype)[None, None],

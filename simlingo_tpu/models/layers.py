@@ -54,11 +54,15 @@ def linear_init(key, in_dim: int, out_dim: int, use_bias: bool = True,
 
 
 def linear(p: Params, x: jnp.ndarray, *, dtype=None) -> jnp.ndarray:
-    w = p["w"]
-    if dtype is not None:
-        w = w.astype(dtype)
-        x = x.astype(dtype)
-    y = x @ w
+    if "w_q" in p:      # int8 weights (core/quantize.py), w8a16 Pallas matmul
+        from simlingo_tpu.kernels.quantized_matmul import int8_matmul
+        y = int8_matmul(x, p["w_q"], p["scale"])
+    else:
+        w = p["w"]
+        if dtype is not None:
+            w = w.astype(dtype)
+            x = x.astype(dtype)
+        y = x @ w
     if "b" in p:
         b = p["b"].astype(y.dtype)
         y = y + b
@@ -169,6 +173,11 @@ def embedding_init(key, vocab: int, dim: int, std: float = 0.02,
 
 
 def embed(p: Params, ids: jnp.ndarray, *, dtype=None) -> jnp.ndarray:
+    if "w_q" in p:      # int8 per-row-quantized table (core/quantize.py)
+        ids = jnp.clip(ids, 0, p["w_q"].shape[0] - 1)
+        rows = jnp.take(p["w_q"], ids, axis=0).astype(dtype or jnp.float32)
+        return rows * jnp.take(p["scale"], ids, axis=0)[..., None].astype(
+            rows.dtype)
     w = p["w"]
     if dtype is not None:
         w = w.astype(dtype)

@@ -271,9 +271,12 @@ def forward(
 def logits_from_hidden(params, hidden, cfg: Qwen2Config) -> jnp.ndarray:
     """LM head (tied to embeddings unless a separate lm_head exists)."""
     if "lm_head" in params:
-        w = params["lm_head"]["w"]
-    else:
-        w = params["embed"]["w"].T
+        return L.linear(params["lm_head"], hidden)
+    if "w_q" in params["embed"]:    # int8 table: [vocab, H], per-row scales
+        from simlingo_tpu.kernels.quantized_matmul import int8_matmul
+        return int8_matmul(hidden, params["embed"]["w_q"],
+                           params["embed"]["scale"], transpose_rhs=True)
+    w = params["embed"]["w"].T
     return hidden @ w.astype(hidden.dtype)
 
 

@@ -108,6 +108,8 @@ def encode(params, bn_state, images: jnp.ndarray, cfg: ResNetConfig,
     """[B, H, W, 3] -> ([B, h*w, token_size] tokens, new_bn_state)."""
     mom, eps = cfg.bn_momentum, cfg.bn_eps
     new_state = {"stages": {}}
+    # match the policy-cast weight dtype (fp32 pixels would promote the tower)
+    images = images.astype(params["stem"]["conv"].dtype)
     x = conv(params["stem"]["conv"], images, stride=2)
     x, new_state["stem"] = batchnorm(params["stem"]["bn"], bn_state["stem"],
                                      x, training, mom, eps)

