@@ -100,11 +100,15 @@ def main():
 
     import dataclasses
     cfg = presets.internvl2_1b(lora=True)
-    remat = os.environ.get("BENCH_REMAT", "vision")
+    # default: no remat -- the whole batch-6 step fits HBM in bf16 and
+    # recomputation costs ~110 ms/step (docs/BENCH_NOTES.md round 2)
+    remat = os.environ.get("BENCH_REMAT", "0")
     if remat == "0":
         cfg = dataclasses.replace(cfg, remat_vision=False, remat_llm=False)
     elif remat == "vision":
         cfg = dataclasses.replace(cfg, remat_llm=False)
+    elif remat == "llm":
+        cfg = dataclasses.replace(cfg, remat_vision=False)
     params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
     mask = ts.trainable_mask(params, ts.production_trainable)
     opt = ts.make_masked_optimizer(

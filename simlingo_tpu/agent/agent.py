@@ -110,6 +110,23 @@ class LingoAgent:
         self._metric_file = open(self.metric_path, "a") if self.metric_path else None
 
     # ------------------------------------------------------------------
+    def filter_ego_state(self, pos_xy: np.ndarray, yaw: float, speed: float
+                         ) -> Tuple[np.ndarray, float, float]:
+        """UKF-filter the raw GPS/IMU/speed measurement through the bicycle
+        model, using the previous tick's control as the process input
+        (reference agent_simlingo.py:507-529 runs this every tick; raw GPS
+        is meter-level noisy). Returns (pos [2], yaw, speed) filtered."""
+        z = np.array([pos_xy[0], pos_xy[1], yaw, speed], float)
+        if not self.ukf.initialized:
+            self.ukf.init_state(z)
+            return np.asarray(pos_xy, float), float(yaw), float(speed)
+        steer, throttle, brake = self.last_control
+        self.ukf.predict(steer, throttle, brake)
+        self.ukf.update(z)
+        x = self.ukf.x
+        return x[:2].copy(), float(x[2]), float(max(x[3], 0.0))
+
+    # ------------------------------------------------------------------
     def build_prompt(self, frame: AgentFrame) -> Tuple[str, Dict[str, np.ndarray]]:
         speed_rounded = round(float(frame.speed), 1)
         tps = np.stack([frame.target_point, frame.next_target_point]) \

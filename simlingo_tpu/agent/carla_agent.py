@@ -85,10 +85,14 @@ try:
             speed = input_data["speed"][1]["speed"]
 
             pos = self.planner.convert_gps_to_carla(gps)
-            tp, tp_next = self.planner.target_points(pos[:2], compass)
-            frame = AgentFrame(rgb=np.ascontiguousarray(rgb), speed=speed,
+            # UKF: fuse noisy GPS/IMU/speed through the bicycle model
+            # (reference agent_simlingo.py:507-529)
+            fpos, fyaw, fspeed = self.agent.filter_ego_state(
+                pos[:2], compass, speed)
+            tp, tp_next = self.planner.target_points(fpos, fyaw)
+            frame = AgentFrame(rgb=np.ascontiguousarray(rgb), speed=fspeed,
                                target_point=tp, next_target_point=tp_next,
-                               compass=compass, gps=pos)
+                               compass=fyaw, gps=pos)
             out = self.agent.run_step(frame)
             control = carla.VehicleControl()
             control.steer = float(out["steer"])

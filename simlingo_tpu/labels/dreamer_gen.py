@@ -90,7 +90,9 @@ def shifted_route(route: np.ndarray, offset: float) -> np.ndarray:
 
 def forecast_boxes(boxes: Sequence[Dict], horizon_steps: int
                    ) -> List[np.ndarray]:
-    """Constant-velocity forecast of box centers: [steps, 2] per box."""
+    """Constant-velocity forecast of box centers: [steps, 2] per box.
+    (Kept for callers that only need center tracks; the safety label uses
+    the OBB path in is_safe below.)"""
     out = []
     for b in boxes:
         pos = np.asarray(b.get("position", [0, 0, 0]))[:2]
@@ -102,15 +104,56 @@ def forecast_boxes(boxes: Sequence[Dict], horizon_steps: int
     return out
 
 
+EGO_EXTENT = (2.45, 0.9)          # half-sizes, matches the expert's ego
+
+
+def _ego_yaws(waypoints: np.ndarray) -> np.ndarray:
+    d = np.diff(waypoints, axis=0, prepend=waypoints[:1] * 0.0)
+    yaws = np.arctan2(d[:, 1], d[:, 0])
+    # stationary steps keep the previous heading (avoid atan2(0,0) = 0 flips)
+    still = np.linalg.norm(d, axis=1) < 1e-3
+    for i in range(1, len(yaws)):
+        if still[i]:
+            yaws[i] = yaws[i - 1]
+    if len(yaws) and still[0]:
+        yaws[0] = yaws[1] if len(yaws) > 1 else 0.0
+    return yaws
+
+
 def is_safe(waypoints: np.ndarray, boxes: Sequence[Dict],
-            margin: float = 2.0) -> bool:
-    """Circle-overlap safety check against constant-velocity forecasts."""
+            safety_margin: float = 0.5) -> bool:
+    """OBB-forecast safety label (reference dreamer_generator.py safety
+    path: kinematic rollouts of recorded actors + oriented-box intersection
+    against the candidate ego trajectory; the round-1 circle-overlap test
+    both missed long-vehicle side hits and rejected safe near-passes).
+
+    Waypoints are WP_DT-spaced ego positions; actor boxes carry
+    position/yaw/speed/extent (+ last control when recorded)."""
     if not boxes:
         return True
-    forecasts = forecast_boxes(boxes, len(waypoints))
-    for fc in forecasts:
-        d = np.linalg.norm(waypoints - fc[: len(waypoints)], axis=1)
-        if (d < margin).any():
+    from simlingo_tpu.expert import forecast as F
+
+    n = len(waypoints)
+    cfg = F.ForecastConfig(frame_rate=max(int(round(1.0 / WP_DT)), 1))
+    def _walker(b):
+        kind = str(b.get("class", "")) + str(b.get("type_id", ""))
+        return "walker" in kind or "pedestrian" in kind
+    vehicles = [b for b in boxes if not _walker(b)]
+    walkers = [b for b in boxes if _walker(b)]
+    pred = F.forecast_vehicles(vehicles, n, near_lane_change=False, cfg=cfg,
+                               dt=WP_DT)
+    wpred = F.forecast_walkers(walkers, n, cfg=cfg, dt=WP_DT)
+
+    ego_centers = np.asarray(waypoints, float)
+    ego_yaws = _ego_yaws(ego_centers)
+    ego_ext = np.broadcast_to(
+        np.asarray(EGO_EXTENT) + safety_margin, (n, 2))
+
+    for fc in list(pred.values()) + list(wpred.values()):
+        hits = F.obb_intersect_batch(ego_centers, ego_yaws, ego_ext,
+                                     fc["centers"][:n], fc["yaws"][:n],
+                                     fc["extents"][:n])
+        if hits.any():
             return False
     return True
 

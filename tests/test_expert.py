@@ -2,6 +2,7 @@
 
 import gzip
 import json
+import dataclasses
 import os
 
 import numpy as np
@@ -77,7 +78,7 @@ def test_autopilot_tick_and_schema(tmp_path):
         actors=[{"position": [12.0, 0.0], "speed": 2.0, "length": 4.5,
                  "type_id": "vehicle.car"}])
     out = ap.tick(obs)
-    assert 0 <= out["throttle"] <= 0.75
+    assert 0 <= out["throttle"] <= 1.0
     assert out["target_speed"] < 8.0        # constrained by the leader
     # measurement file in the reference schema -> consumable by our loaders
     path = os.path.join(str(tmp_path), "measurements", "0000.json.gz")
@@ -205,3 +206,156 @@ def test_planner_progress_and_expert_tick(tmp_path):
     assert rec["changed_route"] is True
     # target point ~30 m ahead in ego frame
     assert abs(inp["target_point"][0] - 30.0) < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round 2: forecasting + OBB constraints (reference autopilot.py:1176-2000)
+# ---------------------------------------------------------------------------
+
+def _straight_route(length_m=60.0):
+    xs = np.arange(0.1, length_m, 0.1)
+    return np.stack([xs, np.zeros_like(xs)], 1)
+
+
+def test_obb_intersection_basic():
+    from simlingo_tpu.expert.forecast import obb_intersect
+    # overlapping axis-aligned boxes
+    assert obb_intersect([0, 0], 0.0, [2, 1], [3, 0], 0.0, [2, 1])
+    # separated
+    assert not obb_intersect([0, 0], 0.0, [2, 1], [10, 0], 0.0, [2, 1])
+    # rotated box slips between: vertical gap 2.2, rotated thin box
+    assert not obb_intersect([0, 0], 0.0, [5, 1], [0, 2.2], np.pi / 2,
+                             [1, 0.5])
+    # same box rotated to overlap
+    assert obb_intersect([0, 0], 0.0, [5, 1], [0, 1.2], np.pi / 2, [1, 0.5])
+
+
+def test_expert_stops_for_crossing_walker():
+    """A pedestrian crossing the road ahead must produce a hard speed
+    reduction + walker hazard flags (reference
+    compute_target_speeds_wrt_all_actors :1437-1469)."""
+    ap = AutoPilot()
+    obs = ExpertObservation(
+        pos_global=np.zeros(2), theta=0.0, speed=6.0, speed_limit=8.0,
+        route=_straight_route(), route_original=_straight_route(),
+        target_point=np.array([20.0, 0.0]),
+        target_point_next=np.array([40.0, 0.0]),
+        actors=[{"position": [9.0, -4.0], "speed": 1.8, "yaw": np.pi / 2,
+                 "type_id": "walker.pedestrian.0001", "id": 77,
+                 "extent": [0.4, 0.4],
+                 "direction": [0.0, 1.0]}])
+    brake, target, reduced = ap.get_brake_and_target_speed(obs)
+    assert target < 6.0
+    assert ap.walker_hazard and ap.walker_close
+    assert reduced is not None and reduced[2] == 77
+    out = ap.tick(obs)
+    assert out["record"]["walker_hazard"] is True
+    assert out["record"]["walker_close_id"] == 77
+
+
+def test_expert_ignores_walker_walking_away():
+    ap = AutoPilot()
+    obs = ExpertObservation(
+        pos_global=np.zeros(2), theta=0.0, speed=6.0, speed_limit=8.0,
+        route=_straight_route(), route_original=_straight_route(),
+        target_point=np.array([20.0, 0.0]),
+        target_point_next=np.array([40.0, 0.0]),
+        actors=[{"position": [10.0, -6.0], "speed": 1.8, "yaw": -np.pi / 2,
+                 "type_id": "walker.pedestrian.0002",
+                 "extent": [0.4, 0.4],
+                 "direction": [0.0, -1.0]}])   # walking away from the road
+    _, target, _ = ap.get_brake_and_target_speed(obs)
+    assert target == 8.0
+
+
+def test_expert_stops_for_crossing_vehicle():
+    """A vehicle crossing the ego path (junction traffic) triggers the
+    forecast-OBB path: target speed 0 + vehicle hazard (reference
+    :1352-1436). It is off the ego corridor NOW, so the old static
+    forward-cone test could not see it."""
+    ap = AutoPilot()
+    obs = ExpertObservation(
+        pos_global=np.zeros(2), theta=0.0, speed=7.0, speed_limit=8.0,
+        route=_straight_route(), route_original=_straight_route(),
+        target_point=np.array([20.0, 0.0]),
+        target_point_next=np.array([40.0, 0.0]),
+        actors=[{"position": [15.0, -7.0], "speed": 5.0, "yaw": np.pi / 2,
+                 "type_id": "vehicle.audi.tt", "id": 5,
+                 "extent": [2.2, 0.95], "steer": 0.0, "throttle": 0.2}])
+    brake, target, reduced = ap.get_brake_and_target_speed(obs)
+    assert target == 0.0 and brake
+    assert ap.vehicle_hazard and ap.vehicle_affecting_id == 5
+    # a vehicle that has already passed the conflict point is ignored
+    ap2 = AutoPilot()
+    obs2 = dataclasses.replace(
+        obs, actors=[{"position": [15.0, 7.0], "speed": 5.0,
+                      "yaw": np.pi / 2, "type_id": "vehicle.audi.tt",
+                      "id": 6, "extent": [2.2, 0.95]}])
+    _, target2, _ = ap2.get_brake_and_target_speed(obs2)
+    assert target2 == 8.0 and not ap2.vehicle_hazard
+
+
+def test_stop_sign_real_distance_and_clearing():
+    """Stop-sign braking uses the real trigger distance; after waiting
+    stopped >25 ticks within 3 m the sign is cleared
+    (reference :1856-1894)."""
+    ap = AutoPilot()
+
+    def obs_at(dist, speed):
+        return ExpertObservation(
+            pos_global=np.zeros(2), theta=0.0, speed=speed, speed_limit=8.0,
+            route=_straight_route(), route_original=_straight_route(),
+            target_point=np.array([20.0, 0.0]),
+            target_point_next=np.array([40.0, 0.0]),
+            stop_sign_distance=dist, stop_sign_id=9)
+
+    # far away: barely constrained; near: hard braking (distance-dependent)
+    _, t_far, _ = ap.get_brake_and_target_speed(obs_at(35.0, 7.0))
+    ap2 = AutoPilot()
+    _, t_near, _ = ap2.get_brake_and_target_speed(obs_at(5.0, 7.0))
+    assert t_near < t_far
+
+    # stopped at the sign: cleared after 25 waiting ticks
+    ap3 = AutoPilot()
+    targets = []
+    for _ in range(30):
+        _, t, _ = ap3.get_brake_and_target_speed(obs_at(2.0, 0.05))
+        targets.append(t)
+    assert ap3.cleared_stop_sign
+    # while waiting the sign pinned the target near zero; once cleared the
+    # IDM runs free-road (distance = inf) and the target rises
+    assert targets[0] < 0.1
+    assert targets[-1] > targets[0] + 0.5
+
+
+def test_red_light_real_distance():
+    ap = AutoPilot()
+    obs = ExpertObservation(
+        pos_global=np.zeros(2), theta=0.0, speed=7.0, speed_limit=8.0,
+        route=_straight_route(), route_original=_straight_route(),
+        target_point=np.array([20.0, 0.0]),
+        target_point_next=np.array([40.0, 0.0]),
+        light_state="red", light_distance=12.0)
+    _, target, reduced = ap.get_brake_and_target_speed(obs)
+    assert target < 7.0
+    assert ap.traffic_light_hazard
+    assert reduced[1] == "traffic.traffic_light" and reduced[3] == 12.0
+
+
+def test_fitted_longitudinal_regression_controller():
+    from simlingo_tpu.expert.autopilot import (
+        LongitudinalLinearRegressionController as C)
+    c = C()
+    # large positive speed error => full throttle
+    assert c.step(2.0, 8.0) == (1.0, False)
+    # overspeed beyond the fitted braking ratio => brake
+    th, br = c.step(8.0, 6.0)
+    assert th == 0.0 and br
+    # zero target => hazard stop
+    assert c.step(5.0, 0.0) == (0.0, True)
+    # small positive error => partial throttle in (0, 1)
+    th, br = c.step(7.9, 8.0)
+    assert not br and 0.0 <= th < 1.0
+    # extrapolation is throttle-only and hazard-free
+    assert c.throttle_extrapolation(8.0, 2.0) == 1.0
+    assert c.throttle_extrapolation(0.0, 8.0) == 0.0

@@ -282,3 +282,45 @@ def test_commentary_obstacle_and_walker_branches():
     rec3 = gen.generate({"speed": 5.0, "target_speed": 5.0, "command": 5,
                          "changed_route": True})
     assert "changes to the left lane" in rec3["commentary"]
+
+
+def test_dreamer_obb_safety_labels():
+    """VERDICT r1 #7: OBB-forecast safety labeling. A lane change into a
+    lane occupied (by forecast) flips to unsafe; the empty lane stays safe;
+    a long vehicle's side (which a 2 m circle check misses) is detected."""
+    from simlingo_tpu.labels.dreamer_gen import (WP_DT, is_safe,
+                                                 generate_alternatives)
+
+    wps_straight = np.stack([np.linspace(1.5, 15, 10), np.zeros(10)], 1)
+    # lane-change-left trajectory (y -> -3.5: left in ego frame convention
+    # of shifted_route offset -3.5)
+    wps_left = np.stack([np.linspace(1.5, 15, 10),
+                         np.linspace(0, -3.5, 10)], 1)
+
+    # slow vehicle driving in the left lane alongside the ego
+    occupant = {"class": "vehicle", "type_id": "vehicle.car",
+                "position": [4.0, -3.5, 0.0], "yaw": 0.0, "speed": 5.0,
+                "extent": [2.3, 1.0]}
+    assert is_safe(wps_straight, [occupant])
+    assert not is_safe(wps_left, [occupant])
+
+    # long stationary trailer lying diagonally across the path: its CENTER
+    # is ~5.4 m from every waypoint (outside a 2 m circle margin) but its
+    # oriented body crosses the lane -> only the OBB test catches it
+    trailer = {"class": "vehicle", "type_id": "vehicle.trailer",
+               "position": [10.0, 5.0, 0.0], "yaw": -np.pi / 3,
+               "speed": 0.0, "extent": [7.0, 1.2]}
+    d_center = np.linalg.norm(wps_straight - np.array([10.0, 5.0]), axis=1)
+    assert d_center.min() > 4.0
+    assert not is_safe(wps_straight, [trailer])
+
+    # end-to-end: generate_alternatives marks the occupied lane change
+    # unsafe and the free one safe
+    route = np.stack([np.linspace(0.0, 30, 100), np.zeros(100)], 1)
+    current = {"speed": 6.0}
+    org = wps_straight
+    alts = generate_alternatives(current, route, org, boxes=[occupant],
+                                 rng=np.random.RandomState(0))
+    assert alts["lane_change_left"][0]["safe_to_execute"] is False
+    assert alts["lane_change_right"][0]["safe_to_execute"] is True
+    assert alts["crash"] == [] if "crash" not in alts else True
