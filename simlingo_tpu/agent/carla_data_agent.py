@@ -27,6 +27,8 @@ try:
             from simlingo_tpu.expert.route_planner import (
                 PrivilegedRoutePlanner)
 
+            from simlingo_tpu.expert.scenarios import ScenarioManager
+
             self.track = autonomous_agent.Track.MAP
             save_path = os.environ.get("SAVE_PATH", path_to_conf_file)
             self.collector = DataCollector(save_path)
@@ -36,6 +38,9 @@ try:
             # privileged_route_planner.py); lane changes / obstacle
             # bypasses are applied here
             self.priv_planner = PrivilegedRoutePlanner()
+            # route re-planning around injected scenarios (reference
+            # autopilot.py:461-903 via CarlaDataProvider.active_scenarios)
+            self.scenarios = ScenarioManager(self.priv_planner)
             self.initialized = False
 
         def sensors(self):
@@ -80,6 +85,14 @@ try:
             # via CarlaDataProvider; gather nearby dynamic actors in ego frame
             actors = self._gather_actors(pos, compass)
 
+            # scenario route management: translate the patched harness's
+            # active_scenarios into planner-space records and tick
+            self.scenarios.set_active(self._active_scenario_records())
+            oncoming = [a for a in actors
+                        if abs(a.get("yaw", 0.0)) > 2.0]  # facing the ego
+            scenario_result = self.scenarios.tick(
+                8.0, speed, pos[:2], oncoming)
+
             inp = self.priv_planner.ego_inputs(pos[:2], compass)
             obs = ExpertObservation(
                 pos_global=pos[:2], theta=compass, speed=speed,
@@ -89,7 +102,8 @@ try:
                 changed_route=inp["changed_route"])
             out = self.collector.tick(obs, rgb=np.ascontiguousarray(rgb),
                                       rgb_augmented=np.ascontiguousarray(
-                                          rgb_aug))
+                                          rgb_aug),
+                                      scenario_result=scenario_result)
             control = carla.VehicleControl()
             control.steer = float(out["steer"])
             control.throttle = float(out["throttle"])
@@ -109,6 +123,9 @@ try:
                 return []
 
         def _gather_actors(self, ego_pos, ego_yaw):
+            """Nearby dynamic actors as full expert dicts: ego-frame
+            position/yaw, speed, half-extents, last control (used by the
+            forecast-OBB constraints, reference autopilot.py:1176-1741)."""
             try:
                 from srunner.scenariomanager.carla_data_provider import (
                     CarlaDataProvider)
@@ -116,19 +133,80 @@ try:
                 import numpy as _np
                 world = CarlaDataProvider.get_world()
                 out = []
-                for actor in world.get_actors().filter("*vehicle*"):
-                    loc = actor.get_location()
-                    rel = inverse_conversion_2d(
-                        _np.array([loc.x, loc.y]), ego_pos[:2], ego_yaw)
-                    if _np.linalg.norm(rel) < 50:
+                for pattern in ("*vehicle*", "*walker*"):
+                    for actor in world.get_actors().filter(pattern):
+                        loc = actor.get_location()
+                        rel = inverse_conversion_2d(
+                            _np.array([loc.x, loc.y]), ego_pos[:2], ego_yaw)
+                        if _np.linalg.norm(rel) >= 50:
+                            continue
                         vel = actor.get_velocity()
-                        out.append({
+                        rec = {
                             "position": rel.tolist(),
+                            "yaw": float(_np.deg2rad(
+                                actor.get_transform().rotation.yaw)
+                                - ego_yaw),
                             "speed": float(_np.hypot(vel.x, vel.y)),
-                            "length": 4.5,
                             "type_id": actor.type_id,
-                        })
+                            "id": actor.id,
+                        }
+                        try:
+                            ext = actor.bounding_box.extent
+                            rec["extent"] = [float(ext.x), float(ext.y)]
+                        except Exception:
+                            rec["extent"] = [2.25, 1.0]
+                        try:
+                            ctrl = actor.get_control()
+                            rec["steer"] = float(getattr(ctrl, "steer", 0.0))
+                            rec["throttle"] = float(
+                                getattr(ctrl, "throttle", 0.0))
+                            rec["brake"] = bool(
+                                getattr(ctrl, "brake", 0.0) > 0.5)
+                            if hasattr(ctrl, "direction"):  # walker control
+                                rec["direction"] = [
+                                    float(ctrl.direction.x),
+                                    float(ctrl.direction.y)]
+                        except Exception:
+                            pass
+                        if "base_type" in getattr(actor, "attributes", {}):
+                            rec["base_type"] = actor.attributes["base_type"]
+                        out.append(rec)
                 return out
+            except Exception:
+                return []
+
+        def _active_scenario_records(self):
+            """Translate CarlaDataProvider.active_scenarios (exposed by the
+            patched data-collection harness, reference autopilot.py:646-662)
+            into the ScenarioManager's plain-dict records."""
+            try:
+                from srunner.scenariomanager.carla_data_provider import (
+                    CarlaDataProvider)
+                records = []
+                for scenario_type, data in getattr(
+                        CarlaDataProvider, "active_scenarios", []):
+                    def actor_rec(a):
+                        if a is None:
+                            return None
+                        loc = a.get_location()
+                        rec = {"position": [loc.x, loc.y]}
+                        try:
+                            ext = a.bounding_box.extent
+                            rec["extent"] = [float(ext.x), float(ext.y)]
+                        except Exception:
+                            rec["extent"] = [2.5, 1.0]
+                        return rec
+                    first = actor_rec(data[0]) if len(data) else None
+                    if first is None:
+                        continue
+                    rec = {"type": scenario_type, "first_actor": first}
+                    last = actor_rec(data[1]) if len(data) > 1 else None
+                    if last is not None:
+                        rec["last_actor"] = last
+                    if len(data) > 2 and isinstance(data[2], str):
+                        rec["direction"] = data[2]
+                    records.append(rec)
+                return records
             except Exception:
                 return []
 

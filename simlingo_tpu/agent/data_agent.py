@@ -53,12 +53,13 @@ class DataCollector:
 
     def tick(self, obs: ExpertObservation, rgb: Optional[np.ndarray] = None,
              rgb_augmented: Optional[np.ndarray] = None,
-             boxes: Sequence[Dict] = ()) -> Dict:
+             boxes: Sequence[Dict] = (),
+             scenario_result=None) -> Dict:
         """Run the expert; persist sensors on save frames."""
         aug = self.sample_camera_augmentation()
         obs.augmentation_rotation = aug["rotation"]
         obs.augmentation_translation = aug["translation"]
-        out = self.expert.tick(obs)
+        out = self.expert.tick(obs, scenario_result=scenario_result)
 
         if (self.tick_count % self.data_save_freq) == 0:
             frame = self.tick_count // self.data_save_freq

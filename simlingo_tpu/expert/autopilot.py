@@ -320,11 +320,36 @@ class AutoPilot:
 
     # -- tick --------------------------------------------------------------
 
-    def tick(self, obs: ExpertObservation) -> Dict[str, Any]:
+    def tick(self, obs: ExpertObservation,
+             scenario_result: Optional[Tuple[float, bool, Optional[List]]]
+             = None) -> Dict[str, Any]:
         """One expert decision + (every data_save_freq steps) a measurement
-        record in the reference schema."""
-        hazard_brake, target_speed, reduced = \
-            self.get_brake_and_target_speed(obs)
+        record in the reference schema.
+
+        scenario_result: (target_speed, keep_driving, reduced) from
+        ScenarioManager.tick; composed as in reference get_control
+        (:388-400): while overtaking (keep_driving) the scenario speed
+        REPLACES the normal decision; otherwise it caps it.
+        """
+        if scenario_result is not None and scenario_result[1]:
+            ts_scn, _, reduced = scenario_result
+            hazard_brake, target_speed = False, float(ts_scn)
+            # hazard flags reset (no normal pipeline ran this tick)
+            for flag in ("vehicle_hazard", "walker_hazard",
+                         "traffic_light_hazard", "stop_sign_hazard",
+                         "walker_close", "stop_sign_close"):
+                setattr(self, flag, False)
+            self.vehicle_affecting_id = None
+            self.walker_affecting_id = None
+        else:
+            hazard_brake, target_speed, reduced = \
+                self.get_brake_and_target_speed(obs)
+            if scenario_result is not None:
+                ts_scn, _, red_scn = scenario_result
+                if ts_scn < target_speed:
+                    target_speed = float(ts_scn)
+                    reduced = red_scn or reduced
+                    hazard_brake = hazard_brake or target_speed == 0.0
         throttle, brake = self.longitudinal.step(obs.speed, target_speed,
                                                  hazard_brake)
         steer = self.lateral.step(obs.route, obs.speed)

@@ -169,6 +169,32 @@ class PrivilegedRoutePlanner:
         self.changed_route = self.changed_route or changed
         return changed
 
+    def index_of(self, point_xy: Sequence[float]) -> int:
+        """Route index closest to a global point (full-route search)."""
+        if len(self.route) == 0:
+            return 0
+        p = np.asarray(point_xy, float)[:2]
+        return int(np.argmin(np.linalg.norm(self.route - p, axis=1)))
+
+    def shift_route_between(self, from_idx: int, to_idx: int,
+                            lateral_shift: float,
+                            transition_length: float = 8.0) -> None:
+        """Shift the route span [from_idx, to_idx] laterally (positive =
+        left) with smooth ramps on both sides -- the scenario-management
+        primitive (reference privileged_route_planner
+        shift_route_around_actors / shift_route_smoothly / shift_route_for_
+        invading_turn are all spans with eased transitions)."""
+        from_idx = int(np.clip(from_idx, 0, max(len(self.route) - 1, 0)))
+        to_idx = int(np.clip(to_idx, from_idx, max(len(self.route) - 1, 0)))
+        trans = max(int(round(transition_length / self.spacing)), 1)
+        start = max(from_idx - trans, 0)
+        prof = lateral_offset_profile(
+            len(self.route), start, from_idx - start,
+            to_idx - from_idx, trans)
+        self.route = self.route \
+            + (lateral_shift * prof)[:, None] * route_normals(self.route)
+        self.changed_route = True
+
     # -- stepping ----------------------------------------------------------
     def run_step(self, pos_global: Sequence[float]) -> int:
         """Advance the progress index (forward-only windowed search)."""
