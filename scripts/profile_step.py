@@ -159,6 +159,54 @@ def step_bench():
 ALL = {"attn": attn_bench, "vit": vit_bench, "llm": llm_bench,
        "step": step_bench}
 
+
+def stepparts_bench():
+    """Decompose the full train step: fwd loss / fwd+bwd / +optimizer."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from simlingo_tpu.core import presets
+    from simlingo_tpu.data.synthetic import synthetic_example
+    from simlingo_tpu.models import simlingo
+    from simlingo_tpu.train import train_step as ts
+
+    cfg = presets.internvl2_1b(lora=True)
+    cfg = dataclasses.replace(cfg, remat_vision=False, remat_llm=False)
+    params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
+    mask = ts.trainable_mask(params, ts.production_trainable)
+    opt = ts.make_masked_optimizer(
+        ts.OptimizerConfig(lr=3e-5, total_steps=1000, grad_clip=0.3), mask)
+    state = ts.init_train_state(params, opt, trainable_mask_tree=mask)
+    ex = jax.device_put(synthetic_example(cfg, batch=6, seq_len=768,
+                                          num_patches=2, seed=0))
+    rng = jax.random.PRNGKey(0)
+
+    def loss_of(trainable, frozen, batch, rng):
+        p = ts.merge_params(trainable, frozen)
+        cp = ts.cast_for_compute(p, jnp.bfloat16)
+        out, _ = simlingo.forward_loss(cp, batch, cfg, dropout_rng=rng,
+                                       compute_dtype=jnp.bfloat16)
+        return out.loss
+
+    trainable, frozen = ts.partition_params(state["params"], mask)
+
+    fwd = jax.jit(loss_of)
+    report("step: fwd loss only", timed(fwd, trainable, frozen, ex, rng, n=6))
+
+    vg = jax.jit(lambda t, f, b, r: jax.value_and_grad(loss_of)(t, f, b, r)[0])
+    report("step: fwd+bwd (grads)", timed(vg, trainable, frozen, ex, rng, n=6))
+
+    step = ts.make_train_step(cfg, opt, compute_dtype=jnp.bfloat16,
+                              trainable_mask_tree=mask, donate=False)
+    ms = timed(lambda s: step(s, ex, rng)[0]["params"]["adaptors"], state,
+               n=6, warmup=2)
+    report("step: full (fwd+bwd+opt)", ms)
+    print(f"  => {6 / (ms / 1e3):.2f} samples/s", flush=True)
+
+
+ALL["stepparts"] = stepparts_bench
+
+
 if __name__ == "__main__":
     which = sys.argv[1:] or list(ALL)
     for w in which:

@@ -51,6 +51,10 @@ try:
             cam_aug = dict(cam, y=aug["translation"], yaw=aug["rotation"],
                            id="rgb_augmented")
             return [dict(cam, id="rgb_front"), cam_aug,
+                    {"type": "sensor.lidar.ray_cast", "x": 0.0, "y": 0.0,
+                     "z": 2.5, "roll": 0.0, "pitch": 0.0, "yaw": -90.0,
+                     "rotation_frequency": 10, "points_per_second": 600000,
+                     "id": "lidar"},
                     {"type": "sensor.other.imu", "x": 0, "y": 0, "z": 0,
                      "roll": 0, "pitch": 0, "yaw": 0, "sensor_tick": 0.05,
                      "id": "imu"},
@@ -100,10 +104,15 @@ try:
                 route=inp["route"], route_original=inp["route_original"],
                 target_point=tp, target_point_next=tp_next, actors=actors,
                 changed_route=inp["changed_route"])
+            lidar = input_data.get("lidar")
+            lidar_pts = (np.asarray(lidar[1])[:, :3]
+                         if lidar is not None else None)
             out = self.collector.tick(obs, rgb=np.ascontiguousarray(rgb),
                                       rgb_augmented=np.ascontiguousarray(
                                           rgb_aug),
-                                      scenario_result=scenario_result)
+                                      boxes=actors,
+                                      scenario_result=scenario_result,
+                                      lidar_half_sweep=lidar_pts)
             control = carla.VehicleControl()
             control.steer = float(out["steer"])
             control.throttle = float(out["throttle"])

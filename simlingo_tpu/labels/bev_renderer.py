@@ -6,7 +6,12 @@ road/route masks, ego box, other vehicles, pedestrians, traffic-light stop
 lines -- written alongside the other sensors during collection.
 
 Channels: 0 route, 1 ego, 2 vehicles, 3 walkers, 4 red-light lines,
-5 static obstacles.
+5 static obstacles, 6 road (drivable area), 7 lane boundaries.
+
+Road/lane rasters (channels 6-7) mirror the reference's HD-map layers
+(chauffeurnet renders the CARLA road layout): the plugin passes the map's
+drivable-area polygons / lane markings when CARLA is live; offline they are
+approximated as a lane band around the dense route.
 """
 
 from __future__ import annotations
@@ -15,7 +20,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-CHANNELS = ("route", "ego", "vehicle", "walker", "red_light", "static")
+CHANNELS = ("route", "ego", "vehicle", "walker", "red_light", "static",
+            "road", "lane_boundary")
 
 
 class BEVRenderer:
@@ -61,9 +67,40 @@ class BEVRenderer:
                vehicles: Sequence[Dict] = (), walkers: Sequence[Dict] = (),
                red_light_lines: Sequence[np.ndarray] = (),
                statics: Sequence[Dict] = (),
-               ego_extent: Tuple[float, float] = (4.9, 2.1)) -> np.ndarray:
-        """-> [size, size, 6] float32 in [0, 1]."""
+               ego_extent: Tuple[float, float] = (4.9, 2.1),
+               road_polygons: Sequence[np.ndarray] = (),
+               lane_boundaries: Sequence[np.ndarray] = (),
+               lane_width: float = 3.5) -> np.ndarray:
+        """-> [size, size, 8] float32 in [0, 1].
+
+        road_polygons / lane_boundaries: ego-frame HD-map geometry (from the
+        CARLA map when live). Without them the road channel falls back to a
+        lane band around the route and the boundaries to its edges.
+        """
+        import cv2
         bev = np.zeros((self.size, self.size, len(CHANNELS)), np.float32)
+        # HD-map channels first (background layers)
+        if road_polygons:
+            canvas = np.ascontiguousarray(bev[:, :, 6])
+            for poly in road_polygons:
+                px = self.world_to_px(np.asarray(poly))[:, ::-1]
+                cv2.fillPoly(canvas, [px.astype(np.int32)], 1.0)
+            bev[:, :, 6] = canvas
+        elif route is not None and len(route) >= 2:
+            self._draw_polyline(bev, 6, route, width_m=lane_width)
+        if lane_boundaries:
+            for line in lane_boundaries:
+                self._draw_polyline(bev, 7, np.asarray(line), width_m=0.3)
+        elif route is not None and len(route) >= 2:
+            # approximate boundaries as the route band edges
+            r = np.asarray(route, float)
+            tang = np.gradient(r, axis=0)
+            tang /= np.maximum(np.linalg.norm(tang, axis=1, keepdims=True),
+                               1e-9)
+            normal = np.stack([-tang[:, 1], tang[:, 0]], axis=1)
+            half = lane_width / 2.0
+            self._draw_polyline(bev, 7, r + half * normal, width_m=0.3)
+            self._draw_polyline(bev, 7, r - half * normal, width_m=0.3)
         if route is not None and len(route) >= 2:
             self._draw_polyline(bev, 0, route, width_m=2.0)
         self._draw_box(bev, 1, np.zeros(2), 0.0, ego_extent)
@@ -92,8 +129,28 @@ class BEVRenderer:
             [255, 80, 80],    # walkers
             [255, 0, 0],      # red light
             [160, 160, 0],    # static
+            [40, 40, 40],     # road
+            [200, 200, 200],  # lane boundary
         ], np.float32)
         img = np.zeros((bev.shape[0], bev.shape[1], 3), np.float32)
         for c in range(bev.shape[2]):
             img = np.maximum(img, bev[:, :, c:c + 1] * colors[c])
         return img.astype(np.uint8)
+
+
+def render_bev(record: Dict, boxes: Sequence[Dict],
+               renderer: Optional[BEVRenderer] = None) -> np.ndarray:
+    """Convenience: one measurement record + GT boxes -> BEV raster
+    (the data collector's per-frame label, reference chauffeurnet path)."""
+    r = renderer or BEVRenderer()
+    def _is(b, *kinds):
+        c = str(b.get("class", b.get("type_id", "")))
+        return any(k in c for k in kinds)
+    vehicles = [b for b in boxes if _is(b, "vehicle", "car")
+                and not _is(b, "static")]
+    walkers = [b for b in boxes if _is(b, "walker", "pedestrian")]
+    statics = [b for b in boxes if _is(b, "static", "construction",
+                                       "warning")]
+    route = np.asarray(record.get("route", []), float)
+    return r.render(route=route if len(route) >= 2 else None,
+                    vehicles=vehicles, walkers=walkers, statics=statics)

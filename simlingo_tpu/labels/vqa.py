@@ -4,9 +4,15 @@ Behavioral counterpart of reference
 `dataset_generation/language_labels/drivelm/carla_vqa_generator.py`
 (QAsGenerator, 3.1k LoC): perception / prediction / planning question chains
 over GT boxes + measurements, key-object descriptions, visibility filtering.
-This core implements the central question builders (important objects,
-traffic light / stop sign state, junction, leading-object behavior, ego plan,
-braking reason); further chains extend `QUESTION_BUILDERS`.
+
+Two layers:
+  * flat single-shot builders (`QUESTION_BUILDERS`) -- scene-level Q/As;
+  * the DriveLM graph (`build_graph_qa`): camera-projection visibility
+    filtering (reference :59-353), per-class visual descriptions
+    (:771-789), key-object tags `<cN,CAM_FRONT,u,v>` shared across chained
+    questions, and per-object perception -> prediction -> planning chains
+    with explicit chain/layer/connection_up/connection_down links
+    (reference add_qas_questions :478-499).
 """
 
 from __future__ import annotations
@@ -228,17 +234,385 @@ QUESTION_BUILDERS: Dict[str, Callable] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# DriveLM graph: key objects, visibility, chained questions
+# ---------------------------------------------------------------------------
+
+CAM_W, CAM_H = 1024, 512
+
+# per-class visual naming (reference get_vehicle_type/get_vehicle_color,
+# carla_vqa_generator.py:771-789)
+_TYPE_NAMES = {
+    "firetruck": "firetruck", "ambulance": "ambulance", "police": "police car",
+    "crossbike": "bicycle", "bike": "bicycle", "omafiets": "bicycle",
+    "century": "bicycle", "diamondback": "bicycle",
+    "carlacola": "truck", "truck": "truck", "cybertruck": "truck",
+    "sprinter": "van", "t2": "van", "volkswagen_t2": "van",
+    "bus": "bus", "micro": "bus", "fusorosa": "bus",
+    "motorcycle": "motorcycle", "yamaha": "motorcycle", "vespa": "motorcycle",
+    "kawasaki": "motorcycle", "harley": "motorcycle", "ninja": "motorcycle",
+}
+
+
+def _class_name(box: Dict) -> str:
+    cls = str(box.get("class", box.get("type_id", "object")))
+    tid = str(box.get("type_id", cls)).lower()
+    if "walker" in cls or "pedestrian" in tid:
+        return "pedestrian"
+    if cls.startswith("traffic_light") or "traffic_light" in tid:
+        return "traffic light"
+    if cls.startswith("stop_sign") or "stop" in cls:
+        return "stop sign"
+    if cls.startswith("static") or "warning" in tid or "construction" in tid:
+        return "construction warning"
+    for key, name in _TYPE_NAMES.items():
+        if key in tid:
+            return name
+    if "vehicle" in cls or "car" in cls:
+        return "car"
+    return cls.split(".")[0].replace("_", " ")
+
+
+def visual_description(box: Dict) -> str:
+    name = _class_name(box)
+    color = str(box.get("color_name", "") or "").strip()
+    if name in ("pedestrian", "traffic light", "stop sign",
+                "construction warning"):
+        return name
+    return f"{color} {name}".strip()
+
+
+def project_box(box: Dict) -> Optional[np.ndarray]:
+    """Ego-frame box -> image pixel [u, v]; None if not visible in the
+    front camera (reference visibility filtering :59-353)."""
+    from simlingo_tpu.utils.geometry import project_points
+
+    pos = np.asarray(box.get("position", [0.0, 0.0, 0.0]), float)
+    if pos.shape[0] == 2:
+        pos = np.array([pos[0], pos[1], 0.0])
+    # approximate the visual center at half height above the ground
+    z = pos[2] if abs(pos[2]) > 1e-6 else float(
+        np.asarray(box.get("extent", [2.0, 1.0, 0.75]))[-1]
+        if len(box.get("extent", [])) > 2 else 0.75)
+    uv = project_points(np.array([[pos[0], pos[1], z]]))[0]
+    if not np.isfinite(uv).all():
+        return None
+    if not (0 <= uv[0] < CAM_W and 0 <= uv[1] < CAM_H):
+        return None
+    return uv
+
+
+def make_key_object_infos(boxes: Sequence[Dict]) -> Dict[str, Dict]:
+    """Registry of camera-visible objects keyed by DriveLM tags
+    `<cN,CAM_FRONT,u,v>`; the tag is the cross-question object identity
+    (reference generate_object_key_value :447-476)."""
+    infos: Dict[str, Dict] = {}
+    count = 1
+    for i, box in enumerate(boxes):
+        cls = str(box.get("class", "")).split(".")[0]
+        if cls not in ("vehicle", "car", "walker", "traffic_light",
+                       "stop_sign", "static", "static_car",
+                       "static_trafficwarning"):
+            continue
+        uv = project_box(box)
+        if uv is None:
+            continue
+        tag = f"<c{count},CAM_FRONT,{uv[0]:.1f},{uv[1]:.1f}>"
+        infos[tag] = {
+            "id": box.get("id", i),
+            "box_index": i,
+            "Category": "Vehicle" if cls in ("vehicle", "car", "static_car")
+            else "Pedestrian" if cls == "walker" else "Traffic element",
+            "Status": "moving" if float(box.get("speed", 0.0)) > 0.2
+            else "stationary",
+            "Visual_description": visual_description(box),
+            "projected": [float(uv[0]), float(uv[1])],
+        }
+        count += 1
+    return infos
+
+
+def _entry(question: str, answer: str, chain: int, layer: int, qa_type: str,
+           tags: Sequence[str]) -> Dict:
+    return {"Q": question, "A": answer, "chain": chain, "layer": layer,
+            "qa_type": qa_type, "connection_up": -1, "connection_down": -1,
+            "object_tags": list(tags)}
+
+
+def _link_chain(entries: List[Dict]) -> List[Dict]:
+    """Set connection_up/down as indices within the category list."""
+    for i, e in enumerate(entries):
+        if i > 0 and entries[i - 1]["chain"] == e["chain"]:
+            e["connection_up"] = i - 1
+        if (i + 1 < len(entries)
+                and entries[i + 1]["chain"] == e["chain"]):
+            e["connection_down"] = i + 1
+    return entries
+
+
+def _crosses_ego_path(box: Dict) -> bool:
+    """Does the actor's heading ray enter the ego corridor ahead?
+    (reference determine_path_crossing :1544-1727, geometric core)."""
+    pos = np.asarray(box.get("position", [0, 0, 0]), float)[:2]
+    yaw = float(box.get("yaw", 0.0))
+    if abs(pos[1]) < 2.0 and pos[0] > 0:
+        return True                       # already on the corridor
+    direction = np.array([np.cos(yaw), np.sin(yaw)])
+    if abs(direction[1]) < 1e-3:
+        return False
+    # parameter t where the ray reaches y = 0 (the ego path line)
+    t = -pos[1] / direction[1]
+    if t <= 0 or t > 40.0:
+        return False
+    x_hit = pos[0] + t * direction[0]
+    return 0.0 < x_hit < 40.0
+
+
+def _vehicle_chain(chain: int, tag: str, info: Dict, box: Dict,
+                   current: Dict) -> List[Dict]:
+    """Perception -> prediction -> planning chain for one visible vehicle
+    (reference generate_vehicle_information :1516-2253)."""
+    desc = f"the {info['Visual_description']}({tag})"
+    pos = np.asarray(box.get("position", [0, 0, 0]), float)[:2]
+    speed = float(box.get("speed", 0.0))
+    out = []
+
+    out.append(_entry(
+        f"Where on the road is {desc} located?",
+        f"{desc.capitalize()} is {_location_phrase(pos)}, roughly "
+        f"{np.hypot(*pos):.0f} m from the ego vehicle.",
+        chain, 0, "perception", [tag]))
+
+    if speed < 0.2:
+        motion = f"{desc.capitalize()} is not moving."
+    else:
+        yaw = float(box.get("yaw", 0.0))
+        heading = ("in the same direction as the ego vehicle"
+                   if abs(yaw) < 0.6 else
+                   "towards the ego vehicle" if abs(yaw) > 2.5 else
+                   "across the ego vehicle's path")
+        motion = (f"{desc.capitalize()} is driving at about {speed:.1f} m/s "
+                  f"{heading}.")
+    out.append(_entry(f"What is {desc} doing?", motion,
+                      chain, 1, "perception", [tag]))
+
+    crossing = _crosses_ego_path(box)
+    if crossing and speed > 0.2:
+        a = (f"Yes, {desc} is on a course that crosses the ego vehicle's "
+             "path, so the ego vehicle must pay attention to it.")
+    elif crossing:
+        a = (f"{desc.capitalize()} is on the ego vehicle's path but "
+             "currently not moving.")
+    else:
+        a = f"No, {desc} does not cross the path of the ego vehicle."
+    out.append(_entry(
+        f"Will {desc} cross the path of the ego vehicle? Why?", a,
+        chain, 2, "prediction", [tag]))
+
+    # planning wrt this actor
+    lim_type = str(current.get("speed_reduced_by_obj_type") or "")
+    is_limiter = (lim_type and lim_type == str(box.get("type_id", ""))
+                  and current.get("speed_reduced_by_obj_id")
+                  == box.get("id"))
+    if is_limiter or (crossing and speed > 0.2):
+        a = (f"The ego vehicle should slow down and be ready to stop "
+             f"for {desc}.")
+    elif abs(pos[1]) < 2.0 and pos[0] > 0:
+        a = (f"The ego vehicle should keep a safe following distance "
+             f"to {desc}.")
+    else:
+        a = (f"The ego vehicle can continue; {desc} does not require "
+             "an action.")
+    out.append(_entry(
+        f"What should the ego vehicle do with respect to {desc}?", a,
+        chain, 3, "planning", [tag]))
+    return out
+
+
+def _pedestrian_chain(chain: int, tag: str, info: Dict, box: Dict,
+                      current: Dict) -> List[Dict]:
+    """Reference process_pedestrians (:500-563)."""
+    desc = f"the pedestrian({tag})"
+    pos = np.asarray(box.get("position", [0, 0, 0]), float)[:2]
+    speed = float(box.get("speed", 0.0))
+    out = [_entry(
+        f"Where is {desc}?",
+        f"{desc.capitalize()} is {_location_phrase(pos)}, about "
+        f"{np.hypot(*pos):.0f} m away.",
+        chain, 0, "perception", [tag])]
+    crossing = _crosses_ego_path(box) and speed > 0.1
+    if crossing:
+        a = (f"Yes, {desc} is walking towards the road; the ego vehicle "
+             "must be ready to stop.")
+    elif speed > 0.1:
+        a = f"No, {desc} is walking away from the ego vehicle's path."
+    else:
+        a = f"No, {desc} is standing still."
+    out.append(_entry(
+        f"Is {desc} about to cross the road?", a,
+        chain, 1, "prediction", [tag]))
+    return out
+
+
+def _traffic_element_chain(chain: int, tag: str, info: Dict, box: Dict,
+                           current: Dict) -> List[Dict]:
+    """Reference process_traffic_lights / process_stop_signs (:565-692)."""
+    kind = info["Visual_description"]
+    desc = f"the {kind}({tag})"
+    out = [_entry(
+        f"Is there {'a ' + kind} affecting the ego vehicle?",
+        f"Yes, there is {'a ' + kind}({tag}) ahead.",
+        chain, 0, "perception", [tag])]
+    if kind == "traffic light":
+        state = str(box.get("state", "red" if current.get("light_hazard")
+                            else "green"))
+        out.append(_entry(
+            f"What is the state of {desc}?",
+            f"{desc.capitalize()} is {state}.",
+            chain, 1, "perception", [tag]))
+        if state in ("red", "yellow"):
+            a = f"The ego vehicle must stop at {desc}."
+        else:
+            a = f"The ego vehicle can continue past {desc}."
+    else:
+        a = (f"The ego vehicle must come to a complete stop at {desc} "
+             "before continuing.")
+    out.append(_entry(
+        f"What should the ego vehicle do because of {desc}?", a,
+        chain, 2, "planning", [tag]))
+    return out
+
+
+def _roadlayout_qas(current: Dict) -> List[Dict]:
+    """Reference analyze_road_layout (:2435-2900, measurement-level core)."""
+    from simlingo_tpu.data.measurements import COMMAND_MAP
+    out = []
+    junction = bool(current.get("junction"))
+    out.append(_entry(
+        "Is the ego vehicle at a junction?",
+        "Yes, the ego vehicle is at a junction." if junction
+        else "The ego vehicle is not at a junction.",
+        0, 0, "perception", []))
+    if "num_lanes_same_direction" in current:
+        n_same = int(current["num_lanes_same_direction"])
+        n_opp = int(current.get("num_lanes_opposite_direction", 0))
+        out.append(_entry(
+            "How many lanes are there in the same direction as the ego car?",
+            f"There {'is' if n_same == 1 else 'are'} {n_same} "
+            f"lane{'s' if n_same != 1 else ''} in the same direction.",
+            1, 0, "perception", []))
+        out.append(_entry(
+            "How many lanes are there in the opposite direction?",
+            f"There {'is' if n_opp == 1 else 'are'} {n_opp} "
+            f"lane{'s' if n_opp != 1 else ''} in the opposite direction.",
+            1, 1, "perception", []))
+    cmd = COMMAND_MAP.get(current.get("command", 4), "follow the road")
+    if junction:
+        watch = ("the ego vehicle should watch the lanes crossing the "
+                 "junction and yield to traffic with the right of way")
+    elif "lane" in cmd:
+        watch = f"the ego vehicle should watch the target lane when it {cmd}s"
+    else:
+        watch = "the ego vehicle should watch its own lane"
+    out.append(_entry(
+        f"The ego vehicle wants to {cmd}. "
+        "Which lanes are important to watch out for?",
+        watch.capitalize() + ".",
+        2, 0, "planning", []))
+    if current.get("changed_route"):
+        out.append(_entry(
+            "Does the ego vehicle need to deviate from its lane? Why?",
+            "Yes, the route ahead is blocked by an obstruction, so the ego "
+            "vehicle must temporarily leave its lane to pass it.",
+            3, 0, "planning", []))
+    return out
+
+
+def _ego_qas(current: Dict, infos: Dict[str, Dict]) -> List[Dict]:
+    """Reference generate_ego_vehicle_actions (:703-1514, measurement core)."""
+    out = []
+    if "speed_limit" in current:
+        sl = float(current["speed_limit"])
+        out.append(_entry(
+            "What is the current speed limit?",
+            f"The current speed limit is {round(sl * 3.6):.0f} km/h.",
+            0, 0, "perception", []))
+    v = float(current.get("speed", 0.0))
+    ts = float(current.get("target_speed", v))
+    limiter_tag = [t for t, i in infos.items()
+                   if i.get("id") is not None
+                   and i["id"] == current.get("speed_reduced_by_obj_id")]
+    if current.get("brake") or current.get("control_brake") or ts < v - 0.5:
+        why = q_braking(current, [])[0]["A"]
+        out.append(_entry(
+            "Does the ego vehicle need to brake? Why?",
+            "Yes. " + why, 1, 0, "planning", limiter_tag))
+    else:
+        out.append(_entry(
+            "Does the ego vehicle need to brake? Why?",
+            "No, the ego vehicle can continue at its current speed.",
+            1, 0, "planning", limiter_tag))
+    if ts > v + 0.5 and not current.get("brake"):
+        a = ("The ego vehicle can accelerate towards its target speed of "
+             f"about {ts:.0f} m/s.")
+    elif ts < 0.5:
+        a = "The ego vehicle should come to a stop."
+    else:
+        a = "The ego vehicle should keep its current speed."
+    out.append(_entry(
+        "Should the ego vehicle accelerate, keep its speed or stop?", a,
+        1, 1, "planning", limiter_tag))
+    return out
+
+
+def build_graph_qa(current: Dict, boxes: Sequence[Dict]
+                   ) -> Dict[str, List[Dict]]:
+    """The DriveLM-style graph categories with key-object chains."""
+    infos = make_key_object_infos(boxes)
+    cats: Dict[str, List[Dict]] = {
+        "dynamic_vehicles": [], "pedestrian": [], "trafficlight": [],
+        "stopsign": [], "roadlayout": [], "ego": [],
+    }
+    v_chain = p_chain = t_chain = s_chain = 0
+    for tag, info in infos.items():
+        box = boxes[info["box_index"]]
+        if info["Category"] == "Vehicle":
+            if v_chain < 3:
+                cats["dynamic_vehicles"] += _vehicle_chain(
+                    v_chain, tag, info, box, current)
+                v_chain += 1
+        elif info["Category"] == "Pedestrian":
+            if p_chain < 3:
+                cats["pedestrian"] += _pedestrian_chain(
+                    p_chain, tag, info, box, current)
+                p_chain += 1
+        elif info["Visual_description"] == "traffic light":
+            cats["trafficlight"] += _traffic_element_chain(
+                t_chain, tag, info, box, current)
+            t_chain += 1
+        elif info["Visual_description"] == "stop sign":
+            cats["stopsign"] += _traffic_element_chain(
+                s_chain, tag, info, box, current)
+            s_chain += 1
+    cats["roadlayout"] = _roadlayout_qas(current)
+    cats["ego"] = _ego_qas(current, infos)
+    for cat in cats:
+        _link_chain(cats[cat])
+    return cats
+
+
 def generate_vqa(current: Dict, boxes: Optional[Sequence[Dict]] = None
                  ) -> Dict:
     """One frame -> drivelm-format record {'QA': {cat: [...]},
-    'key_object_infos': {...}}."""
+    'key_object_infos': {tag: info}}.
+
+    QA holds both the flat scene-level builders and the key-object graph
+    chains (build_graph_qa); key_object_infos is tag-keyed as in DriveLM.
+    """
     boxes = boxes or []
     qa = {cat: fn(current, boxes) for cat, fn in QUESTION_BUILDERS.items()}
-    key_objects = {
-        str(i): {"Visual_description": _object_description(b)}
-        for i, b in enumerate(boxes[:6])
-        if b.get("class", "").split(".")[0] in ("vehicle", "walker")}
-    return {"QA": qa, "key_object_infos": key_objects}
+    qa.update(build_graph_qa(current, boxes))
+    return {"QA": qa, "key_object_infos": make_key_object_infos(boxes)}
 
 
 def generate_route_vqa(route_dir: str, out_root: Optional[str] = None) -> int:

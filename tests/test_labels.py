@@ -169,9 +169,13 @@ def test_bev_renderer():
                    vehicles=[{"position": [10.0, 0.0], "yaw": 0.0}],
                    walkers=[{"position": [5.0, -3.0]}],
                    red_light_lines=[np.array([[15, -2], [15, 2]])])
-    assert bev.shape == (192, 192, 6)
+    assert bev.shape == (192, 192, 8)
     assert bev[:, :, 0].sum() > 0       # route drawn
     assert bev[:, :, 1].sum() > 0       # ego box
+    assert bev[:, :, 6].sum() > 0       # road band (HD-map fallback)
+    assert bev[:, :, 7].sum() > 0       # lane boundaries
+    # the road band is wider than the route line
+    assert bev[:, :, 6].sum() > bev[:, :, 0].sum()
     # vehicle at 10 m ahead: raster row ~ ego_row - 10*px_per_m
     rows, cols = np.nonzero(bev[:, :, 2])
     assert abs(rows.mean() - (r.ego_row - 10 * r.px_per_m)) < 8
@@ -324,3 +328,92 @@ def test_dreamer_obb_safety_labels():
     assert alts["lane_change_left"][0]["safe_to_execute"] is False
     assert alts["lane_change_right"][0]["safe_to_execute"] is True
     assert alts["crash"] == [] if "crash" not in alts else True
+
+
+def test_vqa_graph_chains_and_visibility():
+    """VERDICT r1 #5: DriveLM graph structure. Projection-based visibility
+    filtering, tag-keyed key objects, chain/layer links consistent."""
+    boxes = [
+        {"class": "vehicle", "type_id": "vehicle.ford.ambulance", "id": 11,
+         "position": [14.0, 1.0, 0.0], "speed": 5.0, "yaw": 0.0,
+         "color_name": "white"},
+        {"class": "vehicle", "type_id": "vehicle.audi.tt", "id": 12,
+         "position": [-8.0, 0.0, 0.0], "speed": 3.0},       # behind: invisible
+        {"class": "walker", "id": 13, "position": [8.0, -5.0, 0.0],
+         "speed": 1.2, "yaw": np.pi / 2},
+        {"class": "stop_sign", "id": 14, "position": [20.0, 4.0, 0.0]},
+    ]
+    current = {"speed": 6.0, "target_speed": 4.0, "brake": True,
+               "speed_reduced_by_obj_type": "vehicle.ford.ambulance",
+               "speed_reduced_by_obj_id": 11,
+               "speed_reduced_by_obj_distance": 14.0,
+               "speed_limit": 8.0, "command": 4, "junction": False,
+               "num_lanes_same_direction": 2,
+               "num_lanes_opposite_direction": 1}
+    rec = vqa.generate_vqa(current, boxes)
+    infos = rec["key_object_infos"]
+
+    # visibility: the vehicle behind the ego is filtered out
+    ids = {i["id"] for i in infos.values()}
+    assert 11 in ids and 13 in ids and 14 in ids and 12 not in ids
+    # tags are DriveLM formatted and all in-image
+    for tag, info in infos.items():
+        assert tag.startswith("<c") and "CAM_FRONT" in tag
+        u, v = info["projected"]
+        assert 0 <= u < 1024 and 0 <= v < 512
+
+    # per-class visual description
+    amb = [i for i in infos.values() if i["id"] == 11][0]
+    assert amb["Visual_description"] == "white ambulance"
+
+    # vehicle chain: 4 layers, linked, tags present everywhere
+    chain = rec["QA"]["dynamic_vehicles"]
+    assert len(chain) == 4
+    assert [e["layer"] for e in chain] == [0, 1, 2, 3]
+    assert [e["qa_type"] for e in chain] == ["perception", "perception",
+                                             "prediction", "planning"]
+    for i, e in enumerate(chain):
+        assert e["connection_up"] == (i - 1 if i > 0 else -1)
+        assert e["connection_down"] == (i + 1 if i < 3 else -1)
+        assert e["object_tags"][0] in infos
+        assert e["object_tags"][0] in e["Q"]
+    # the ambulance limits the ego -> planning says slow down / follow
+    assert "ego vehicle should" in chain[3]["A"]
+
+    # pedestrian crossing prediction: walking toward the road (yaw +90deg
+    # from the right side) => crossing
+    ped = rec["QA"]["pedestrian"]
+    assert any("ready to stop" in e["A"] for e in ped)
+
+    # stop-sign chain has a planning layer
+    ss = rec["QA"]["stopsign"]
+    assert any(e["qa_type"] == "planning" and "complete stop" in e["A"]
+               for e in ss)
+
+    # roadlayout uses the lane counts
+    rl = " ".join(e["A"] for e in rec["QA"]["roadlayout"])
+    assert "2 lanes in the same direction" in rl
+    assert "1 lane in the opposite direction" in rl
+
+    # ego chain: braking reason names the limiting object's tag
+    ego = rec["QA"]["ego"]
+    brake_q = [e for e in ego if "brake" in e["Q"]][0]
+    assert brake_q["A"].startswith("Yes.")
+    assert brake_q["object_tags"] and brake_q["object_tags"][0] in infos
+
+    # >= 25 distinct questions per frame at DriveLM scale
+    flat = [q for sub in rec["QA"].values() for q in sub]
+    assert len({e["Q"] for e in flat}) >= 25
+
+
+def test_vqa_crossing_geometry():
+    from simlingo_tpu.labels.vqa import _crosses_ego_path
+    # heading across the corridor from the right
+    assert _crosses_ego_path({"position": [10.0, -6.0], "yaw": np.pi / 2})
+    # heading away
+    assert not _crosses_ego_path({"position": [10.0, -6.0],
+                                  "yaw": -np.pi / 2})
+    # parallel in the adjacent lane
+    assert not _crosses_ego_path({"position": [10.0, -4.0], "yaw": 0.0})
+    # already on the corridor
+    assert _crosses_ego_path({"position": [12.0, 0.5], "yaw": 0.0})
