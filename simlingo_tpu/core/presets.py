@@ -32,6 +32,25 @@ def internvl2_1b(lora: bool = True, vocab_size: int = 151674) -> SimLingoConfig:
     )
 
 
+def production_shaped(num_layers: int = 2,
+                      image_size: int = 224) -> SimLingoConfig:
+    """Production WIDTHS (every sharded dimension at its real InternVL2-1B
+    size: ViT hidden 1024/mlp 4096/16 heads, Qwen2 hidden 896/mlp
+    4864/14q+2kv heads, vocab 151674, LoRA r=32) with reduced DEPTH and a
+    smaller ViT raster (sequence length is never sharded) so the
+    virtual-CPU-mesh dry run finishes quickly. Validates that the partition
+    rules divide the real dimensions and that the full train step compiles
+    and executes under dp/fsdp/tp sharding at production shapes."""
+    full = internvl2_1b(lora=True)
+    import dataclasses
+    return dataclasses.replace(
+        full,
+        vit=dataclasses.replace(full.vit, num_layers=num_layers,
+                                image_size=image_size),
+        llm=dataclasses.replace(full.llm, num_layers=num_layers),
+        remat_vision=False, remat_llm=False)
+
+
 def small_shardable() -> SimLingoConfig:
     """Small config whose dims divide a (dp, fsdp=2, tp=2) mesh -- used by
     multi-chip dry runs and sharding tests."""

@@ -57,8 +57,10 @@ def collate(samples: Sequence[RawSample], tok: SimLingoTokenizer,
         pad_side=cfg.pad_side_infer, max_placeholders=cfg.max_placeholders)
 
     def stack(field, dtype=np.float32):
-        return jnp.asarray(np.stack([getattr(s, field) for s in samples])
-                           .astype(dtype))
+        arr = np.stack([getattr(s, field) for s in samples])
+        if arr.dtype == np.uint8:       # raw frames: device preprocessing
+            return jnp.asarray(arr)
+        return jnp.asarray(arr.astype(dtype))
 
     def fixlen(x, n):
         x = np.asarray(x, np.float32)

@@ -124,8 +124,11 @@ class DreamerDataset(DrivingDataset):
                                 f"{start + cfg.hist_len - 1:04}.jpg")
         img = cv2.cvtColor(cv2.imread(img_path, cv2.IMREAD_COLOR),
                            cv2.COLOR_BGR2RGB)
-        tiles = preprocess_numpy(img, cfg.image_size, cfg.max_num_grid,
-                                 do_bottom_crop=cfg.cut_bottom_quarter)
+        if getattr(cfg, "device_preprocess", False):
+            tiles = np.ascontiguousarray(img, dtype=np.uint8)
+        else:
+            tiles = preprocess_numpy(img, cfg.image_size, cfg.max_num_grid,
+                                     do_bottom_crop=cfg.cut_bottom_quarter)
 
         return RawSample(
             question=prompt, answer=dreamer_answer,

@@ -85,6 +85,9 @@ class DrivingDatasetConfig:
     use_town13: bool = True
     filter_infractions: bool = True
     seed: int = 42
+    # ship raw uint8 frames; crop/resize/normalize/tile run on-device fused
+    # into the train step (north-star dataloader-preprocessing item)
+    device_preprocess: bool = False
 
 
 def _load_templates(template_dir: Optional[str], name: str) -> Dict:
@@ -378,8 +381,13 @@ class DrivingDataset:
         if cfg.img_augmentation:
             from simlingo_tpu.data.augment import image_augmenter
             img = image_augmenter(img, rng, cfg.img_augmentation_prob)
-        tiles = preprocess_numpy(img, cfg.image_size, cfg.max_num_grid,
-                                 do_bottom_crop=cfg.cut_bottom_quarter)
+        if cfg.device_preprocess:
+            # ship the raw uint8 frame; crop/resize/normalize/tile run fused
+            # on-device inside the train step (models/simlingo.py)
+            tiles = np.ascontiguousarray(img, dtype=np.uint8)
+        else:
+            tiles = preprocess_numpy(img, cfg.image_size, cfg.max_num_grid,
+                                     do_bottom_crop=cfg.cut_bottom_quarter)
 
         return RawSample(
             question=prompt, answer=answer,

@@ -91,6 +91,16 @@ def preprocess_numpy(img: np.ndarray, image_size: int = 448,
     return (out - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def device_grid_for(width: int, height: int, image_size: int = 448,
+                    max_num: int = 2, do_bottom_crop: bool = True
+                    ) -> Tuple[int, int]:
+    """(gw, gh) tile grid for a raw frame of the given static size, matching
+    the CPU path's closest-aspect-ratio selection after the hood crop."""
+    if do_bottom_crop:
+        height = int(height - (height * 4.8) // 16)
+    return select_grid(width, height, image_size, max_num=max_num)
+
+
 def preprocess_device(frames, image_size: int = 448, grid: Tuple[int, int] = (2, 1),
                       do_bottom_crop: bool = True):
     """jax version: [B, H, W, 3] uint8 -> [B, NP, S, S, 3] float32/bf16.

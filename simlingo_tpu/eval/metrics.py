@@ -1,11 +1,13 @@
-"""Language evaluation metrics: exact match, BLEU, ROUGE-L, CIDEr.
+"""Language evaluation metrics: exact match, BLEU, ROUGE-L, CIDEr, METEOR.
 
 Counterpart of reference `eval_metrics.py` (evaluation_suit): exact-match
 accuracy + NLG metrics. The reference shells out to the `language_evaluation`
 CocoEvaluator (BLEU/ROUGE-L/CIDEr/METEOR/SPICE) and a GPT-4o judge; here
-BLEU-1..4, ROUGE-L and CIDEr are implemented directly in numpy (METEOR and
-SPICE require external resources -- Java/corenlp -- and are out of scope;
-`gpt_judge` is available when an OpenAI-compatible endpoint is configured).
+BLEU-1..4, ROUGE-L, CIDEr and METEOR are implemented directly in
+python/numpy. METEOR uses the exact + Porter-stem matcher stages (the WordNet
+synonymy stage requires the WordNet corpus and is skipped); SPICE requires
+the Java corenlp scene-graph parser and stays out of scope. `gpt_judge` is
+available when an OpenAI-compatible endpoint is configured.
 """
 
 from __future__ import annotations
@@ -144,6 +146,121 @@ def cider(preds: Sequence[str], refs: Sequence[str], max_n: int = 4,
 
 
 # ---------------------------------------------------------------------------
+# METEOR (unigram alignment with exact + Porter-stem stages)
+# ---------------------------------------------------------------------------
+
+_VOWELS = set("aeiou")
+
+
+def _porter_stem(w: str) -> str:
+    """Compact Porter stemmer (steps 1a/1b/1c + common suffix strips).
+
+    Enough stemming power for METEOR's stem-match stage (maps inflected
+    forms -- braking/brakes/braked -> brake-ish stems); not a full Porter
+    implementation, but deterministic and dependency-free.
+    """
+    if len(w) <= 3:
+        return w
+
+    def has_vowel(s):
+        return any(c in _VOWELS or (c == "y" and i > 0)
+                   for i, c in enumerate(s))
+
+    # step 1a: plurals
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("s") and not w.endswith("ss"):
+        w = w[:-1]
+    def measure(s):
+        # Porter's m: number of VC sequences in the c*(vc)^m v* form
+        seq = "".join("v" if (c in _VOWELS or (c == "y" and i > 0
+                              and s[i - 1] not in _VOWELS)) else "c"
+                      for i, c in enumerate(s))
+        return seq.count("vc")
+
+    def ends_cvc(s):
+        return (len(s) >= 3 and s[-1] not in _VOWELS and s[-1] not in "wxy"
+                and s[-2] in _VOWELS and s[-3] not in _VOWELS)
+
+    # step 1b: -ed / -ing
+    for suf in ("ing", "ed"):
+        if w.endswith(suf) and has_vowel(w[:-len(suf)]):
+            w = w[:-len(suf)]
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif (len(w) >= 2 and w[-1] == w[-2]
+                  and w[-1] not in "lsz" and w[-1] not in _VOWELS):
+                w = w[:-1]
+            elif measure(w) == 1 and ends_cvc(w):
+                w += "e"
+            break
+    # step 1c: -y -> i
+    if w.endswith("y") and has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # common derivational suffixes
+    for suf in ("ization", "fulness", "ousness", "ational", "iveness",
+                "tional", "alism", "ation", "izer", "ator", "ment", "ness",
+                "able", "ible", "ful"):
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            w = w[:-len(suf)]
+            break
+    return w
+
+
+def _meteor_align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
+    """Greedy staged alignment (exact, then stem), NLTK-style: each stage
+    matches remaining unmatched hypothesis words to the first remaining
+    compatible reference word, in position order."""
+    pairs: List[Tuple[int, int]] = []
+    h_free = set(range(len(hyp)))
+    r_free = set(range(len(ref)))
+    for stage in (lambda t: t, _porter_stem):
+        ref_keys = {j: stage(ref[j]) for j in sorted(r_free)}
+        for i in sorted(h_free):
+            key = stage(hyp[i])
+            for j in sorted(r_free):
+                if ref_keys.get(j) == key:
+                    pairs.append((i, j))
+                    h_free.discard(i)
+                    r_free.discard(j)
+                    break
+    return sorted(pairs)
+
+
+def meteor(preds: Sequence[str], refs: Sequence[str], alpha: float = 0.9,
+           beta: float = 3.0, gamma: float = 0.5) -> float:
+    """Sentence-level METEOR averaged over the corpus.
+
+    F_mean = P*R / (alpha*P + (1-alpha)*R); fragmentation penalty
+    gamma * (chunks / matches)^beta; standard parameters (0.9, 3, 0.5).
+    """
+    scores = []
+    for p, r in zip(preds, refs):
+        hyp, ref = _tokenize(p), _tokenize(r)
+        if not hyp or not ref:
+            scores.append(0.0)
+            continue
+        pairs = _meteor_align(hyp, ref)
+        m = len(pairs)
+        if m == 0:
+            scores.append(0.0)
+            continue
+        prec = m / len(hyp)
+        rec = m / len(ref)
+        fmean = prec * rec / (alpha * prec + (1 - alpha) * rec)
+        # chunks: maximal runs contiguous in both hyp and ref order
+        chunks = 1
+        for (h0, r0), (h1, r1) in zip(pairs, pairs[1:]):
+            if not (h1 == h0 + 1 and r1 == r0 + 1):
+                chunks += 1
+        penalty = gamma * (chunks / m) ** beta
+        scores.append(fmean * (1 - penalty))
+    return float(np.mean(scores)) if scores else 0.0
+
+
+# ---------------------------------------------------------------------------
 # GPT judge (optional, reference utils/gpt_eval.py)
 # ---------------------------------------------------------------------------
 
@@ -181,6 +298,7 @@ def evaluation_suite(preds: Sequence[str], refs: Sequence[str],
     out.update(bleu(preds, refs))
     out["rouge_l"] = rouge_l(preds, refs)
     out["cider"] = cider(preds, refs)
+    out["meteor"] = meteor(preds, refs)
     if use_judge:
         j = gpt_judge(preds, refs)
         if j is not None:

@@ -106,6 +106,18 @@ def build_text_embeddings(params: Dict[str, Any], label: LanguageLabel,
 
     # 2. image-feature splicing at <IMG_CONTEXT> positions (reference :94-132)
     if pixel_values is not None:
+        if pixel_values.ndim == 4:
+            # raw uint8 camera frames [B, H, W, 3]: fused on-device
+            # preprocessing (crop/resize/normalize/tile) inside the step --
+            # the north-star dataloader path (reference
+            # internvl2_utils.py:179-267 runs this per-sample on CPU).
+            from simlingo_tpu.data.image_pipe import (device_grid_for,
+                                                      preprocess_device)
+            grid = device_grid_for(pixel_values.shape[2],
+                                   pixel_values.shape[1],
+                                   cfg.vit.image_size)
+            pixel_values = preprocess_device(
+                pixel_values, cfg.vit.image_size, grid=grid)
         Bp, NP = pixel_values.shape[:2]
         imgs = pixel_values.reshape((B * NP,) + pixel_values.shape[2:])
         feats = vit.extract_features(params["vision"], imgs, cfg.vit,

@@ -147,6 +147,60 @@ def test_dataset_to_model_end_to_end(fake_dataset):
     assert int(out.loss_counts["language_loss"]) > 0
 
 
+def test_device_preprocess_path(fake_dataset):
+    """device_preprocess=True ships raw uint8 frames; the fused on-device
+    crop/resize/normalize inside the model forward must (a) run end-to-end
+    and (b) agree with the CPU preprocessing on smooth images."""
+    import jax
+    import jax.numpy as jnp
+
+    from simlingo_tpu.data.image_pipe import (device_grid_for,
+                                              preprocess_device,
+                                              preprocess_numpy)
+    from simlingo_tpu.models import simlingo
+    from simlingo_tpu.models.simlingo import SimLingoConfig
+    from simlingo_tpu.models.vit import ViTConfig
+    from simlingo_tpu.models.qwen2 import Qwen2Config
+
+    # numeric agreement on a smooth gradient frame (bicubic kernels differ
+    # slightly between cv2 and jax.image -> loose tolerance)
+    yy, xx = np.mgrid[0:512, 0:1024]
+    smooth = np.stack([(xx / 4) % 256, (yy / 4) % 256,
+                       ((xx + yy) / 8) % 256], -1).astype(np.uint8)
+    cpu = preprocess_numpy(smooth, 56, 2)
+    grid = device_grid_for(1024, 512, 56)
+    dev = np.asarray(preprocess_device(smooth[None], 56, grid=grid))[0]
+    assert cpu.shape == dev.shape == (2, 56, 56, 3)
+    assert np.abs(cpu - dev).mean() < 0.05
+
+    ds = DrivingDataset(DrivingDatasetConfig(
+        data_root=fake_dataset, split="train", use_town13=False,
+        use_commentary=False, use_qa=False, img_shift_augmentation=False,
+        route_as="target_point", image_size=56, max_num_grid=2,
+        device_preprocess=True))
+    tok = SimLingoTokenizer()
+    samples = [ds.get(i, np.random.RandomState(0)) for i in [0, 5]]
+    assert samples[0].image.dtype == np.uint8
+    assert samples[0].image.ndim == 3            # raw [H, W, 3] frame
+
+    cfg = SimLingoConfig(
+        vit=ViTConfig(hidden_size=64, num_layers=2, num_heads=4,
+                      intermediate_size=128, image_size=56, patch_size=14,
+                      projector_out=64),
+        llm=Qwen2Config.tiny(vocab_size=tok.tk.vocab_size + 8),
+        img_context_token_id=tok.img_context_id,
+        remat_vision=False, remat_llm=False)
+    n_img_tokens = cfg.vit.tokens_per_patch_image * 2
+    ccfg = CollateConfig(max_text_len=256, num_image_tokens=n_img_tokens)
+    ex = collate(samples, tok, ccfg)
+    assert ex.driving_input.pixel_values.dtype == jnp.uint8
+    assert ex.driving_input.pixel_values.ndim == 4
+
+    out, _ = simlingo.forward_loss(
+        simlingo.init_params(jax.random.PRNGKey(0), cfg), ex, cfg)
+    assert np.isfinite(float(out.loss))
+
+
 def test_chat_template_structure():
     tok = SimLingoTokenizer()
     chat = tokenize_chat(tok, "Q: test?", "A: yes.", num_image_tokens=4)

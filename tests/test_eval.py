@@ -24,6 +24,24 @@ def test_metrics_degrade_with_mismatch():
     assert mg["bleu_4"] > mb["bleu_4"]
     assert mg["rouge_l"] > mb["rouge_l"]
     assert mg["cider"] > mb["cider"]
+    assert mg["meteor"] > mb["meteor"]
+
+
+def test_meteor():
+    # identical sentences: F_mean = 1, one chunk over m matches
+    refs = ["the ego vehicle brakes hard for the pedestrian"]
+    s_perfect = M.meteor(refs, refs)
+    m = 8
+    assert abs(s_perfect - (1 - 0.5 * (1 / m) ** 3)) < 1e-9
+    # stem stage matches inflected forms (braking ~ brakes)
+    s_stem = M.meteor(["the ego vehicle braking hard"], refs)
+    s_nostem = M.meteor(["the ego vehicle xyzzy hard"], refs)
+    assert s_stem > s_nostem > 0.0
+    # scrambled word order is penalized via fragmentation
+    s_scrambled = M.meteor(
+        ["pedestrian the for hard brakes vehicle ego the"], refs)
+    assert s_perfect > s_scrambled > 0.0
+    assert M.meteor(["anything"], [""]) == 0.0
 
 
 def _wps(speed, n=10, decel=0.0):

@@ -58,6 +58,48 @@ def test_train_step_sharded_matches_replicated():
     assert not w.sharding.is_fully_replicated
 
 
+def test_tp2_matches_tp1_loss_and_grads():
+    """Tensor parallelism must be numerically inert: loss AND gradients on
+    one batch agree between an unsharded run and a tp=2-only mesh (catches
+    silent divergence that a loss-finiteness check would pass)."""
+    cfg = SimLingoConfig.tiny()
+    params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
+    ex = synthetic_example(cfg, batch=2, seq_len=96, num_patches=1)
+
+    def loss_and_grads(p, batch):
+        def loss_fn(p_, b_):
+            out, _ = simlingo.forward_loss(p_, b_, cfg,
+                                           compute_dtype=jnp.float32)
+            return out.loss
+        return jax.jit(jax.value_and_grad(loss_fn))(p, batch)
+
+    l1, g1 = loss_and_grads(params, ex)
+
+    mesh = meshlib.make_mesh(dp=1, fsdp=1, tp=2,
+                             devices=jax.devices()[:2])
+    p2 = meshlib.shard_params(params, mesh)
+    ex2 = jax.tree_util.tree_map(jax.device_put, ex,
+                                 meshlib.batch_shardings(ex, mesh))
+    l2, g2 = loss_and_grads(p2, ex2)
+
+    # something must actually be tp-sharded in this run
+    specs = [x.sharding.spec for x in jax.tree_util.tree_leaves(p2)]
+    assert any("tp" in str(s) for s in specs), specs
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for name, leaf1, leaf2 in [
+        ("llm_q_w", g1["llm"]["layers"]["0"]["attn"]["q"]["w"],
+         g2["llm"]["layers"]["0"]["attn"]["q"]["w"]),
+        ("vit_fc1_w", g1["vision"]["layers"]["0"]["mlp"]["fc1"]["w"],
+         g2["vision"]["layers"]["0"]["mlp"]["fc1"]["w"]),
+        ("route_queries", g1["adaptors"]["route_queries"],
+         g2["adaptors"]["route_queries"]),
+    ]:
+        a, b = np.asarray(leaf1), np.asarray(jax.device_get(leaf2))
+        denom = np.maximum(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(a / denom, b / denom, atol=2e-5,
+                                   err_msg=name)
+
+
 def test_onecycle_schedule_shape():
     cfg = ts.OptimizerConfig(lr=3e-5, total_steps=1000, pct_start=0.05)
     sched = ts.onecycle_schedule(cfg)
