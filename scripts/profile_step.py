@@ -161,11 +161,8 @@ ALL = {"attn": attn_bench, "vit": vit_bench, "llm": llm_bench,
        "step": step_bench}
 
 
-def stepparts_bench():
-    """Decompose the full train step: fwd loss / fwd+bwd / +optimizer."""
+def _step_setup(dropout: bool = True):
     import dataclasses
-    import jax
-    import jax.numpy as jnp
     from simlingo_tpu.core import presets
     from simlingo_tpu.data.synthetic import synthetic_example
     from simlingo_tpu.models import simlingo
@@ -180,7 +177,7 @@ def stepparts_bench():
     state = ts.init_train_state(params, opt, trainable_mask_tree=mask)
     ex = jax.device_put(synthetic_example(cfg, batch=6, seq_len=768,
                                           num_patches=2, seed=0))
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(0) if dropout else None
 
     def loss_of(trainable, frozen, batch, rng):
         p = ts.merge_params(trainable, frozen)
@@ -189,39 +186,51 @@ def stepparts_bench():
                                        compute_dtype=jnp.bfloat16)
         return out.loss
 
-    trainable, frozen = ts.partition_params(state["params"], mask)
+    return cfg, opt, mask, state, ex, rng, loss_of, ts
 
+
+def stepfwd_bench():
+    """Forward loss only (one jitted program -- run parts separately to stay
+    within HBM)."""
+    cfg, opt, mask, state, ex, rng, loss_of, ts = _step_setup()
+    trainable, frozen = ts.partition_params(state["params"], mask)
     fwd = jax.jit(loss_of)
     report("step: fwd loss only", timed(fwd, trainable, frozen, ex, rng, n=6))
 
-    # return a grad-dependent scalar so XLA cannot dead-code the backward
-    def _vg(t, f, b, r):
-        loss, grads = jax.value_and_grad(loss_of)(t, f, b, r)
-        gsum = sum(jnp.sum(g.astype(jnp.float32))
-                   for g in jax.tree_util.tree_leaves(grads))
-        return loss + 0.0 * gsum
-    vg = jax.jit(_vg)
-    report("step: fwd+bwd (grads)", timed(vg, trainable, frozen, ex, rng, n=6))
 
+def stepgrad_bench():
+    """Forward + backward, grads kept live (no optimizer)."""
+    cfg, opt, mask, state, ex, rng, loss_of, ts = _step_setup()
+    trainable, frozen = ts.partition_params(state["params"], mask)
+
+    # return the grads tree itself so XLA cannot dead-code the backward
+    # (timed() syncs on one leaf; the rest stay on-device)
+    vg = jax.jit(lambda t, f, b, r: jax.grad(loss_of)(t, f, b, r))
+    report("step: fwd+bwd (grads)",
+           timed(lambda *a: vg(*a)["adaptors"]["speed_queries"],
+                 trainable, frozen, ex, rng, n=6))
+
+
+def stepfull_bench():
+    """Full donate'd train step (fwd+bwd+optimizer)."""
+    cfg, opt, mask, state, ex, rng, loss_of, ts = _step_setup()
     step = ts.make_train_step(cfg, opt, compute_dtype=jnp.bfloat16,
                               trainable_mask_tree=mask, donate=True)
-    # donate: re-feed the returned state each call
-    def run_step(s):
-        return step(s, ex, rng)[0]
-    out = run_step(state)
+    out = step(state, ex, rng)[0]
     float(jax.device_get(out["params"]["adaptors"]["speed_queries"].sum()))
-    import time as _t
-    t0 = _t.perf_counter()
+    t0 = time.perf_counter()
     n = 6
     for _ in range(n):
-        out = run_step(out)
+        out = step(out, ex, rng)[0]
     float(jax.device_get(out["params"]["adaptors"]["speed_queries"].sum()))
-    ms = (_t.perf_counter() - t0) / n * 1e3
+    ms = (time.perf_counter() - t0) / n * 1e3
     report("step: full (fwd+bwd+opt)", ms)
     print(f"  => {6 / (ms / 1e3):.2f} samples/s", flush=True)
 
 
-ALL["stepparts"] = stepparts_bench
+ALL["stepfwd"] = stepfwd_bench
+ALL["stepgrad"] = stepgrad_bench
+ALL["stepfull"] = stepfull_bench
 
 
 if __name__ == "__main__":

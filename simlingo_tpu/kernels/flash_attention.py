@@ -39,6 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 STAT_SUBLANES = 8
+LOG2E = 1.4426950408889634  # softmax runs in base 2 (exp2 is the native
+                            # VPU transcendental; exp lowers to exp2 + mul)
 
 
 def _interpret() -> bool:
@@ -94,18 +96,20 @@ def attention_reference(
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
-                *, scale: float, causal: bool, block_q: int, block_k: int,
+                *, scale2: float, causal: bool, block_q: int, block_k: int,
                 kv_len: int):
     # off_ref: [1, 1] int32 SMEM (global slot of q row 0)
     # q_ref: [1, 1, bq, D]; k/v_ref: [1, 1, S, D]; valid_ref: [1, 1, S] int32
-    # o_ref: [1, 1, bq, D]; lse_ref: [1, 1, STAT_SUBLANES, bq]
+    # o_ref: [1, 1, bq, D]; lse_ref: [1, 1, STAT_SUBLANES, bq] (BASE-2 lse)
     qi = pl.program_id(2)
     off = off_ref[0, 0]
     # MXU operands stay in the input dtype (bf16 in production): fp32 matmuls
-    # are emulated in multiple passes on TPU. Scale is folded into q (D=64
-    # multiplies/row beats bq*bk multiplies on the scores).
+    # are emulated in multiple passes on TPU. The base-2 scale (softmax runs
+    # on exp2, the native VPU transcendental; exp would lower to exp2 + a
+    # per-element multiply) is folded into q: D multiplies/row beat bq*bk
+    # multiplies on the scores.
     q = q_ref[0, 0]                                      # [bq, D]
-    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    q = (q.astype(jnp.float32) * scale2).astype(q.dtype)
     bq, D = q.shape
     nk = kv_len // block_k
 
@@ -115,10 +119,15 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
         # last kv block that can contain an unmasked key for this q block
         last = (off + qi * block_q + bq - 1) // block_k + 1
         nk_eff = jnp.clip(last, 0, nk)
+        # leading blocks whose every key slot <= every q slot skip the
+        # per-element slot compare entirely
+        j_full = jnp.clip((off + qi * block_q - block_k + 1) // block_k + 1,
+                          0, nk_eff)
     else:
         nk_eff = nk
+        j_full = nk
 
-    def body(j, carry):
+    def body(j, carry, masked):
         acc, m_prev, l_prev = carry
         kb = k_ref[0, 0, pl.ds(j * block_k, block_k)]
         vb = v_ref[0, 0, pl.ds(j * block_k, block_k)]
@@ -126,21 +135,21 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
             q, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                            # [bq, bk]
         # VPU economy: key validity as an additive [bk] bias (one add/elem);
-        # masked entries sit at ~-1e30 so exp(s - m_new) underflows to exact
+        # masked entries sit at ~-1e30 so exp2(s - m_new) underflows to exact
         # zero for any row with >= 1 valid key. (Rows with NO valid key --
         # left-pad query slots at inference -- produce finite garbage that
         # downstream never reads and whose cotangents are zero.)
         bias = jnp.where(
             valid_ref[0, 0, pl.ds(j * block_k, block_k)] != 0, 0.0, NEG_INF)
         s = s + bias[None, :]
-        if causal:
+        if masked:
             kv_slot = j * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, block_k), 1)
             s = jnp.where(kv_slot <= q_slot, s, NEG_INF)
         m_cur = jnp.max(s, axis=-1)                                        # [bq]
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new[:, None])
-        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp2(s - m_new[:, None])
+        alpha = jnp.exp2(m_prev - m_new)
         l_new = l_prev * alpha + p.sum(axis=-1)
         acc = acc * alpha[:, None] + jax.lax.dot_general(
             p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
@@ -150,12 +159,26 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
     acc0 = jnp.zeros((bq, D), jnp.float32)
     m0 = jnp.full((bq,), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq,), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, nk_eff, body, (acc0, m0, l0))
+    if not causal:
+        # static trip count: python-unroll so Mosaic can interleave block
+        # j+1's MXU matmul with block j's VPU softmax (a fori_loop body is
+        # scheduled as an opaque sequential region)
+        carry = (acc0, m0, l0)
+        for j in range(nk):
+            carry = body(j, carry, masked=False)
+    else:
+        carry = jax.lax.fori_loop(0, j_full,
+                                  functools.partial(body, masked=False),
+                                  (acc0, m0, l0))
+        carry = jax.lax.fori_loop(j_full, nk_eff,
+                                  functools.partial(body, masked=True),
+                                  carry)
+    acc, m, l = carry
 
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[0, 0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
-    # log-sum-exp; rows with zero mass get NEG_INF so exp(s - lse) == 0 in bwd
-    lse = jnp.where(l > 0, m + jnp.log(l_safe), NEG_INF)                   # [bq]
+    # base-2 log-sum-exp; rows with zero mass get NEG_INF => exp2(s-lse)==0
+    lse = jnp.where(l > 0, m + jnp.log2(l_safe), NEG_INF)                  # [bq]
     lse_ref[0, 0] = jnp.broadcast_to(lse[None, :], (STAT_SUBLANES, bq))
 
 
@@ -163,15 +186,20 @@ def _fwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
 # Backward kernels
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref, lse_ref,
-                dq_ref, dk_ref, dv_ref, *, scale: float, causal: bool,
-                block_q: int, block_k: int, q_len: int):
+def _bwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref,
+                lse_ref, dq_ref, dk_ref, dv_ref, *, scale: float,
+                scale2: float, causal: bool, block_q: int, block_k: int,
+                q_len: int):
     """Fused backward: one pass over kv blocks computing dq, dk, dv.
 
     Grid (B, HQ, nk). dq uses a *revisited* full-T accumulator block (same
     block index for every kv step, zeroed at ki == 0) so a single kernel
     produces all three gradients -- one recompute of p per (q, kv) block pair
     instead of two, and no concurrently-scheduled sibling kernels.
+
+    lse is base-2 (see _fwd_kernel): p recomputed as exp2(scale2*(q.k) + bias
+    - lse2) equals the forward softmax exactly; ds -> dq/dk use the
+    natural-log scale (the chain rule through softmax is base-free).
     """
     ki = pl.program_id(2)
     off = off_ref[0, 0]
@@ -184,13 +212,21 @@ def _bwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref, lse_ref,
     def _():
         dq_ref[0, 0] = jnp.zeros_like(dq_ref[0, 0])
 
-    kv_slot = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 1)
     kv_bias = jnp.where(valid_ref[0, 0, pl.ds(ki * block_k, bk)] != 0,
                         0.0, NEG_INF)                                      # [bk]
+    if causal:
+        kv_slot = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, bk), 1)
+        # first q block with any unmasked entry for this kv block
+        first = jnp.clip((ki * block_k - off) // block_q, 0, nq)
+        # first q block where every q slot >= every kv slot: no compare
+        j_clear = jnp.clip(-((off - ki * block_k - block_k + 1) // block_q),
+                           first, nq)
+    else:
+        first = 0
+        j_clear = 0                       # all blocks take the no-mask loop
 
-    first = jnp.clip((ki * block_k - off) // block_q, 0, nq) if causal else 0
-
-    def body(j, carry):
+    def body(j, carry, masked):
         dk, dv = carry
         # MXU operands in the input dtype (bf16): fp32 dots are emulated.
         qb = q_ref[0, 0, pl.ds(j * block_q, block_q)]                      # [bq, D]
@@ -198,15 +234,15 @@ def _bwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref, lse_ref,
         ob = o_ref[0, 0, pl.ds(j * block_q, block_q)]
         delta = (dob.astype(jnp.float32) * ob.astype(jnp.float32)).sum(axis=-1)
         lse = lse_ref[0, 0, 0, pl.ds(j * block_q, block_q)]                # [bq]
-        s = scale * jax.lax.dot_general(
+        s = scale2 * jax.lax.dot_general(
             qb, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = s + kv_bias[None, :]
-        if causal:
+        if masked:
             q_slot = off + j * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, bk), 0)
             s = jnp.where(kv_slot <= q_slot, s, NEG_INF)
-        # exp(-1e30 - lse) underflows to exact zero => masked entries drop out
-        p = jnp.exp(s - lse[:, None])                                      # [bq, bk]
+        # exp2(-huge - lse) underflows to exact zero => masked entries drop out
+        p = jnp.exp2(s - lse[:, None])                                     # [bq, bk]
         pc = p.astype(kb.dtype)
         dv = dv + jax.lax.dot_general(
             pc, dob, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -215,13 +251,21 @@ def _bwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref, lse_ref,
         ds = (p * (dp - delta[:, None])).astype(kb.dtype)
         dk = dk + scale * jax.lax.dot_general(
             ds, qb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dq_ref[0, 0, pl.ds(j * block_q, block_q)] += scale * jax.lax.dot_general(
+        dq_upd = scale * jax.lax.dot_general(
             ds, kb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        sl = pl.ds(j * block_q, block_q)
+        dq_ref[0, 0, sl] = (dq_ref[0, 0, sl].astype(jnp.float32)
+                            + dq_upd).astype(dq_ref.dtype)
         return dk, dv
 
     dk0 = jnp.zeros((bk, D), jnp.float32)
     dv0 = jnp.zeros((bk, D), jnp.float32)
-    dk, dv = jax.lax.fori_loop(first, nq, body, (dk0, dv0))
+    carry = (dk0, dv0)
+    if causal:
+        carry = jax.lax.fori_loop(first, j_clear,
+                                  functools.partial(body, masked=True), carry)
+    dk, dv = jax.lax.fori_loop(j_clear if causal else 0, nq,
+                               functools.partial(body, masked=False), carry)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
@@ -256,7 +300,7 @@ def _flash_fwd_impl(q, k, v, kv_valid, q_off, causal, scale, block_q, block_k):
     nq = T // block_q
 
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, causal=causal,
+        _fwd_kernel, scale2=scale * LOG2E, causal=causal,
         block_q=block_q, block_k=block_k, kv_len=S)
     out, lse = pl.pallas_call(
         kernel,
@@ -296,11 +340,19 @@ def _flash_bwd(causal, scale, block_q, block_k, res, dout):
     _, HK, S, _ = k.shape
     group = HQ // HK
 
+    # bwd block sizing is independent of the fwd's: a single kv block per
+    # grid program (dk/dv accumulate locally over inner q blocks) measured
+    # faster than a blocked kv grid at SimLingo lengths -- the revisited dq
+    # buffer writes back per kv grid step otherwise
+    block_k = S if S <= 1280 else 256
+    block_q = T
+
     # The backward materializes ~three [bq, bk] fp32 tiles (p, dp, ds); pick
     # the largest inner q-block that divides T and keeps those tiles within
-    # ~9 MB of scoped VMEM (16 MB limit minus resident q/do/o/dq buffers).
+    # ~48 MB of scoped VMEM (v5e has 128 MB/core; leave room for the resident
+    # q/do/o/dq buffers and double-buffered DMA).
     # lane-dim dynamic slices (lse) must be 128-aligned on TPU
-    budget_rows = max((9 * 1024 * 1024) // (12 * block_k), 128)
+    budget_rows = max((48 * 1024 * 1024) // (12 * block_k), 128)
     bq_inner = 128
     for d in range(128, min(block_q, budget_rows) + 1, 128):
         if T % d == 0:
@@ -309,10 +361,19 @@ def _flash_bwd(causal, scale, block_q, block_k, res, dout):
 
     # One fused kernel: dq accumulated in a revisited block across kv steps;
     # dk/dv written per kv block (per q-head, group-reduced below).
+    # Output dtypes: dk/dv can be written in the input dtype when there is no
+    # cross-head group reduction (MHA, e.g. the ViT tower) -- halves the HBM
+    # writes AND kills the downstream convert fusions; same for dq when a
+    # single kv grid step means no cross-step accumulation. GQA (the LLM)
+    # keeps f32 for exact accumulation.
+    nk_grid = S // block_k
+    dq_dtype = q.dtype if nk_grid == 1 else jnp.float32
+    dkv_dtype = k.dtype if group == 1 else jnp.float32
     dq, dk_e, dv_e = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, causal=causal,
-                          block_q=block_q, block_k=block_k, q_len=T),
-        grid=(B, HQ, S // block_k),
+        functools.partial(_bwd_kernel, scale=scale, scale2=scale * LOG2E,
+                          causal=causal, block_q=block_q, block_k=block_k,
+                          q_len=T),
+        grid=(B, HQ, nk_grid),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, T, D), lambda b, h, i: (b, h, 0, 0)),
@@ -329,9 +390,9 @@ def _flash_bwd(causal, scale, block_q, block_k, res, dout):
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, HQ, T, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, HQ, S, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, HQ, S, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, HQ, T, D), dq_dtype),
+            jax.ShapeDtypeStruct((B, HQ, S, D), dkv_dtype),
+            jax.ShapeDtypeStruct((B, HQ, S, D), dkv_dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
@@ -339,8 +400,11 @@ def _flash_bwd(causal, scale, block_q, block_k, res, dout):
     )(q_off, q, k, v, kv_valid, out, dout, lse)
 
     dq = dq.astype(q.dtype)
-    dk = dk_e.reshape(B, HK, group, S, D).sum(axis=2).astype(k.dtype)
-    dv = dv_e.reshape(B, HK, group, S, D).sum(axis=2).astype(v.dtype)
+    if group == 1:
+        dk, dv = dk_e.astype(k.dtype), dv_e.astype(v.dtype)
+    else:
+        dk = dk_e.reshape(B, HK, group, S, D).sum(axis=2).astype(k.dtype)
+        dv = dv_e.reshape(B, HK, group, S, D).sum(axis=2).astype(v.dtype)
     return dq, dk, dv, None, None
 
 
@@ -375,6 +439,17 @@ def flash_attention(
     def ceil128(n):
         return -(-n // 128) * 128
 
+    if causal and T > 256 and os.environ.get("SIMLINGO_ATTN_BLOCKED", "1") == "1":
+        # blocked grid exploits causal pruning: interior blocks skip the
+        # slot-compare entirely and blocks above the diagonal never run.
+        # Narrow q blocks x wide k blocks measured fastest on-chip (the
+        # q-block dim is the grid axis -- more parallel programs -- while a
+        # wide k block keeps the inner MXU contraction long): bq=128/bk=512
+        # is ~2x bq=bk=256 at SimLingo lengths (scripts/attn_sweep.py).
+        if block_k is None:
+            block_k = 512
+        if block_q is None:
+            block_q = 128
     if block_k is None:
         block_k = ceil128(S) if ceil128(S) <= 1280 else 256
     if block_q is None:

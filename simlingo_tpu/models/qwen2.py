@@ -143,20 +143,22 @@ def merge_lora(params: Dict[str, Any], lora_params: Dict[str, Any],
 # Forward
 # ---------------------------------------------------------------------------
 
-def _linear_maybe_lora(p, lora, x, cfg: Qwen2Config, dropout_rng=None):
+def _linear_maybe_lora(p, lora, x, cfg: Qwen2Config, dropout_mask=None):
     y = L.linear(p, x)
     if lora is not None:
         scale = cfg.lora_alpha / cfg.lora_r
         xl = x
-        if dropout_rng is not None and cfg.lora_dropout > 0:
-            keep = jax.random.bernoulli(dropout_rng, 1 - cfg.lora_dropout, x.shape)
-            xl = x * keep / (1 - cfg.lora_dropout)
+        if dropout_mask is not None and cfg.lora_dropout > 0:
+            # mask precomputed per layer in ONE fused bernoulli draw (see
+            # forward): 168 tiny per-linear threefry calls cost ~80 ms/step
+            # on TPU; two large draws per layer cost ~25 ms total.
+            xl = x * dropout_mask.astype(x.dtype) / (1 - cfg.lora_dropout)
         y = y + scale * ((xl @ lora["a"].astype(x.dtype)) @ lora["b"].astype(x.dtype))
     return y
 
 
 def _attn_block(p, lora, x, cfg: Qwen2Config, cos, sin, kv_valid, causal,
-                cache=None, cache_index=None, dropout_rngs=None):
+                cache=None, cache_index=None, dropout_masks=None):
     """Self-attention with RoPE/GQA; optionally reads+updates a KV cache.
 
     cache: dict with 'k','v' [B, max_len, HK, D] preallocated buffers.
@@ -166,9 +168,9 @@ def _attn_block(p, lora, x, cfg: Qwen2Config, cos, sin, kv_valid, causal,
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     def lr(name, inp):
-        rng = dropout_rngs[name] if dropout_rngs else None
+        mask = dropout_masks[name] if dropout_masks else None
         return _linear_maybe_lora(p[name], lora.get(name) if lora else None,
-                                  inp, cfg, rng)
+                                  inp, cfg, mask)
 
     q = lr("q", x).reshape(B, T, nh, hd)
     k = lr("k", x).reshape(B, T, nkv, hd)
@@ -196,16 +198,16 @@ def _attn_block(p, lora, x, cfg: Qwen2Config, cos, sin, kv_valid, causal,
     out = attention(q, k, v, kv_valid, causal=causal, q_offset=q_offset,
                     use_pallas=use_pallas)
     out = out.reshape(B, T, nh * hd)
-    rng = dropout_rngs["o"] if dropout_rngs else None
+    mask = dropout_masks["o"] if dropout_masks else None
     return _linear_maybe_lora(p["o"], lora.get("o") if lora else None,
-                              out, cfg, rng), new_cache
+                              out, cfg, mask), new_cache
 
 
-def _mlp_block(p, lora, x, cfg: Qwen2Config, dropout_rngs=None):
+def _mlp_block(p, lora, x, cfg: Qwen2Config, dropout_masks=None):
     def lr(name, inp):
-        rng = dropout_rngs[name] if dropout_rngs else None
+        mask = dropout_masks[name] if dropout_masks else None
         return _linear_maybe_lora(p[name], lora.get(name) if lora else None,
-                                  inp, cfg, rng)
+                                  inp, cfg, mask)
     return lr("down", jax.nn.silu(lr("gate", x)) * lr("up", x))
 
 
@@ -233,18 +235,26 @@ def forward(
     new_cache = {"layers": {}, "index": None} if cache is not None else None
 
     def layer_fn(x, lp, lo, layer_cache, layer_idx):
-        rngs = None
+        masks = None
         if dropout_rng is not None and cfg.lora_dropout > 0 and lora_params is not None:
-            ks = jax.random.split(jax.random.fold_in(dropout_rng, layer_idx), 8)
-            rngs = dict(zip(("q", "k", "v", "o", "gate", "up", "down", "_"), ks))
+            # two fused draws per layer (q/k/v/o/gate/up share the hidden
+            # width; down takes the intermediate): per-linear threefry calls
+            # are ~3x more expensive end-to-end on TPU
+            B, T, H = x.shape
+            k6, kd = jax.random.split(jax.random.fold_in(dropout_rng, layer_idx))
+            keep = 1 - cfg.lora_dropout
+            m6 = jax.random.bernoulli(k6, keep, (6, B, T, H))
+            md = jax.random.bernoulli(kd, keep, (B, T, cfg.intermediate_size))
+            masks = dict(zip(("q", "k", "v", "o", "gate", "up"), m6))
+            masks["down"] = md
         a, upd = _attn_block(lp["attn"], lo.get("attn") if lo else None,
                              L.rmsnorm(lp["ln1"], x, cfg.rms_norm_eps), cfg,
                              cos, sin, kv_valid, causal,
                              cache=layer_cache, cache_index=cache_index,
-                             dropout_rngs=rngs)
+                             dropout_masks=masks)
         x = x + a
         m = _mlp_block(lp["mlp"], lo.get("mlp") if lo else None,
-                       L.rmsnorm(lp["ln2"], x, cfg.rms_norm_eps), cfg, rngs)
+                       L.rmsnorm(lp["ln2"], x, cfg.rms_norm_eps), cfg, masks)
         return x + m, upd
 
     for i in range(cfg.num_layers):
