@@ -74,10 +74,20 @@ class DrivingExample:
 
     driving_input: DrivingInput
     driving_label: DrivingLabel
-    # static metadata (not traced)
+    # static metadata (not traced). NOTE: these participate in the pytree
+    # TREEDEF -- a batch carrying per-sample values here retraces any jit it
+    # is fed to. Call strip_static() before handing a batch to a compiled
+    # step (the trainer and bench do); keep metadata only for eval paths
+    # that consume it host-side.
     run_id: Any = struct.field(pytree_node=False, default=None)
     qa_templates: Any = struct.field(pytree_node=False, default=None)
     eval_infos: Any = struct.field(pytree_node=False, default=None)
+
+    def strip_static(self) -> "DrivingExample":
+        """Drop per-batch static metadata so every batch shares one treedef
+        (jit caches on treedef + leaf avals; varying metadata would force a
+        recompile per step)."""
+        return self.replace(run_id=None, qa_templates=None, eval_infos=None)
 
 
 @struct.dataclass

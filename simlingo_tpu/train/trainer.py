@@ -254,7 +254,9 @@ def train(cfg: TrainConfig,
             picks = sampler.batch_at(step, batch_size)
             rng = np.random.RandomState(cfg.seed * 7919 + step)
             samples = [datasets[b].get(i, rng) for b, i in picks]
-            ex = collate(samples, tok, ccfg)
+            # strip per-batch static metadata: it lives in the treedef and
+            # would force a recompile of the train step every batch
+            ex = collate(samples, tok, ccfg).strip_static()
             return jax.tree_util.tree_map(
                 jax.device_put, ex, meshlib.batch_shardings(ex, mesh))
 
