@@ -254,3 +254,30 @@ def test_multiple_placeholder_types():
     got = {int(s) for s in slots if s >= 0}
     assert got == {1, 2, 4}
     assert coords[(slots == 4).argmax()].tolist() == [3.0, 3.0]
+
+
+def test_collated_batches_share_one_treedef(fake_dataset):
+    """Regression: DrivingExample's static metadata (run_id/qa_templates/
+    eval_infos) lives in the pytree treedef; per-batch values would force
+    a recompile of the jitted train step EVERY batch. strip_static() must
+    make consecutive batches structurally identical."""
+    import jax
+
+    from simlingo_tpu.data.collate import CollateConfig, collate
+    from simlingo_tpu.data.sampler import (WeightedBucketSampler,
+                                           normalize_buckets)
+    from simlingo_tpu.data.tokenizer import SimLingoTokenizer
+
+    tok = SimLingoTokenizer()
+    ds = DrivingDataset(DrivingDatasetConfig(data_root=fake_dataset))
+    sampler = WeightedBucketSampler(
+        normalize_buckets({"all": (len(ds), 1.0)}), seed=0)
+    ccfg = CollateConfig(max_text_len=256, num_image_tokens=32)
+
+    tds = set()
+    for step in range(3):
+        rng = np.random.RandomState(step)
+        samples = [ds.get(i, rng) for _, i in sampler.batch_at(step, 2)]
+        ex = collate(samples, tok, ccfg).strip_static()
+        tds.add(jax.tree_util.tree_structure(ex))
+    assert len(tds) == 1, "batches must share one treedef (no retraces)"

@@ -160,3 +160,87 @@ def test_trained_simlingo_layout_with_lora_merge(tmp_path):
         base.numpy().T, atol=1e-6)
     assert params["adaptors"]["route_queries"].shape == (1, 20, H)
     assert "l0" in params["wp_encoder"]
+
+
+def test_full_1b_shapes_convert_and_forward(tmp_path):
+    """Full InternVL2-1B geometry (VERDICT round-1 item 10): exact remote-code
+    names at production shapes -- fused ViT qkv [3072, 1024], mlp1
+    projector 4096->896, Qwen2-0.5B with the 151674-token vocab -- through
+    the converter, then one end-to-end forward.
+
+    Reference: OpenGVLab/InternVL2-1B remote code + RenzKa/simlingo layout;
+    token table per simlingo_training/dataloader/datamodule.py:130-136.
+    """
+    from simlingo_tpu.core import presets
+    cfg = presets.internvl2_1b(lora=False)
+
+    def t(*shape):
+        # fp16 keeps the on-disk/dict footprint ~2 GB for the 1B tree
+        return torch.randn(*shape, dtype=torch.float16) * 0.02
+
+    sd = {}
+    vp = "vision_model."
+    H = cfg.vit.hidden_size
+    sd[vp + "embeddings.patch_embedding.weight"] = t(H, 3, 14, 14)
+    sd[vp + "embeddings.patch_embedding.bias"] = t(H)
+    sd[vp + "embeddings.class_embedding"] = t(1, 1, H)
+    sd[vp + "embeddings.position_embedding"] = t(1, cfg.vit.num_patches + 1, H)
+    for i in range(cfg.vit.num_layers):
+        lp = vp + f"encoder.layers.{i}."
+        sd[lp + "attn.qkv.weight"] = t(3 * H, H)
+        sd[lp + "attn.qkv.bias"] = t(3 * H)
+        sd[lp + "attn.proj.weight"] = t(H, H)
+        sd[lp + "attn.proj.bias"] = t(H)
+        sd[lp + "norm1.weight"] = t(H); sd[lp + "norm1.bias"] = t(H)
+        sd[lp + "norm2.weight"] = t(H); sd[lp + "norm2.bias"] = t(H)
+        sd[lp + "ls1"] = t(H); sd[lp + "ls2"] = t(H)
+        sd[lp + "mlp.fc1.weight"] = t(cfg.vit.intermediate_size, H)
+        sd[lp + "mlp.fc1.bias"] = t(cfg.vit.intermediate_size)
+        sd[lp + "mlp.fc2.weight"] = t(H, cfg.vit.intermediate_size)
+        sd[lp + "mlp.fc2.bias"] = t(H)
+    proj_in = int(H / cfg.vit.downsample_ratio ** 2)       # 4096
+    assert proj_in == 4096
+    sd["mlp1.0.weight"] = t(proj_in); sd["mlp1.0.bias"] = t(proj_in)
+    sd["mlp1.1.weight"] = t(cfg.vit.projector_out, proj_in)
+    sd["mlp1.1.bias"] = t(cfg.vit.projector_out)
+    sd["mlp1.3.weight"] = t(cfg.vit.projector_out, cfg.vit.projector_out)
+    sd["mlp1.3.bias"] = t(cfg.vit.projector_out)
+    sd.update(_make_llm_state_dict(cfg))
+    assert sd["language_model.model.embed_tokens.weight"].shape == (151674, 896)
+
+    path = tmp_path / "pytorch_model.pt"
+    torch.save(sd, str(path))
+    params = ckpt.load_hf_checkpoint(str(path), cfg)
+
+    # exact production shapes land in the tree
+    assert params["vision"]["layers"]["0"]["attn"]["q"]["w"].shape == (1024, 1024)
+    assert params["vision"]["projector"]["fc1"]["w"].shape == (4096, 896)
+    assert params["llm"]["embed"]["w"].shape == (151674, 896)
+    assert params["llm"]["layers"]["23"]["mlp"]["down"]["w"].shape == (4864, 896)
+
+    # fused-qkv split is positional: q rows 0:H, k rows H:2H, v rows 2H:3H
+    qkv = sd[vp + "encoder.layers.0.attn.qkv.weight"].float().numpy()
+    np.testing.assert_allclose(
+        np.asarray(params["vision"]["layers"]["0"]["attn"]["k"]["w"]),
+        qkv[H:2 * H].T, atol=1e-6)
+
+    # token table vs the reference datamodule (datamodule.py:130-136)
+    from simlingo_tpu.data.tokenizer import PLACEHOLDER_TOKENS
+    assert PLACEHOLDER_TOKENS == (
+        "<WAYPOINTS>", "<WAYPOINTS_DIFF>", "<ORG_WAYPOINTS_DIFF>",
+        "<ORG_WAYPOINTS>", "<WAYPOINT_LAST>", "<ROUTE>",
+        "<ROUTE_DIFF>", "<TARGET_POINT>")
+    assert cfg.img_context_token_id == 151648  # <IMG_CONTEXT> in InternVL2-1B
+
+    # end-to-end forward at full shapes
+    from simlingo_tpu.data.synthetic import synthetic_example
+    from simlingo_tpu.models import simlingo
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    init = simlingo.init_params(jax.random.PRNGKey(0), cfg)
+    params["adaptors"] = init["adaptors"]
+    params["wp_encoder"] = init["wp_encoder"]
+    del init
+    ex = synthetic_example(cfg, batch=1, seq_len=600, num_patches=1)
+    out, _ = simlingo.forward_loss(params, ex, cfg,
+                                   compute_dtype=jnp.bfloat16)
+    assert np.isfinite(float(out.loss))
