@@ -46,7 +46,9 @@ def main(which):
     imgs = jax.random.normal(jax.random.PRNGKey(1), (12, 448, 448, 3),
                              jnp.bfloat16)
 
-    orig_attention = fa.attention
+    # vit.py binds `attention` at import time -- patch vit's reference, not
+    # the kernels module's
+    orig_attention = vit.attention
     orig_gelu = jax.nn.gelu
     orig_ln = L.layernorm
 
@@ -65,22 +67,21 @@ def main(which):
     if "noattn" in which:
         # attention -> scaled value pass-through (keeps shapes + a matmul-free
         # datapath); the delta vs full is the attention kernel's in-context cost
-        fa.attention = lambda q, k, v, *a, **kw: v if q.shape == v.shape else \
+        vit.attention = lambda q, k, v, *a, **kw: v if q.shape == v.shape else \
             jnp.repeat(v, q.shape[2] // v.shape[2], axis=2)
         try:
             run("noattn")
         finally:
-            fa.attention = orig_attention
+            vit.attention = orig_attention
 
     if "gelu_tanh" in which:
-        import functools
-        jax.nn.gelu = functools.partial(orig_gelu, approximate=True)
-        L.jax.nn.gelu = jax.nn.gelu
+        # layers.py calls jax.nn.gelu(h, approximate=False) explicitly --
+        # the stand-in must IGNORE the caller's kwarg to actually switch
+        jax.nn.gelu = lambda x, approximate=False: orig_gelu(x, approximate=True)
         try:
             run("gelu_tanh")
         finally:
             jax.nn.gelu = orig_gelu
-            L.jax.nn.gelu = orig_gelu
 
     if "nonorm" in which:
         L.layernorm = lambda p, x, eps=1e-6: x

@@ -19,7 +19,9 @@ from simlingo_tpu.models.vit import ViTConfig
 
 def internvl2_1b(lora: bool = True, vocab_size: int = 151674) -> SimLingoConfig:
     return SimLingoConfig(
-        vit=ViTConfig(),                       # InternViT-300M-448px
+        # InternViT-300M-448px; tanh-GELU in bf16 is below rounding noise
+        # of the exact form and ~16% faster fwd+bwd (ViTConfig docstring)
+        vit=ViTConfig(gelu_approximate=True),
         llm=Qwen2Config(
             vocab_size=vocab_size,
             lora_r=32 if lora else 0,

@@ -412,24 +412,34 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def flash_attention(
-    q: jnp.ndarray,                     # [B, T, HQ, D]
-    k: jnp.ndarray,                     # [B, S, HK, D]
-    v: jnp.ndarray,                     # [B, S, HK, D]
+    q: jnp.ndarray,                     # [B, T, HQ, D] (or [B, HQ, T, D])
+    k: jnp.ndarray,                     # [B, S, HK, D] (or [B, HK, S, D])
+    v: jnp.ndarray,                     # [B, S, HK, D] (or [B, HK, S, D])
     kv_valid: Optional[jnp.ndarray] = None,   # [B, S] bool
     causal: bool = True,
     scale: Optional[float] = None,
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     q_offset: Optional[jnp.ndarray] = None,   # scalar: global slot of q row 0
+    layout: str = "bthd",
 ) -> jnp.ndarray:
     """Pallas flash attention with slot-order causality + key-validity masking.
 
     Block sizing: at SimLingo sequence lengths (<= ~1.3k) a SINGLE block per
     (batch, head) minimizes grid-program count and DMA overhead (the scores
     tile fits VMEM comfortably); longer sequences fall back to 256-blocks.
+
+    layout="bhtd" takes/returns head-major tensors and skips the wrapper's
+    relayouts entirely -- callers that can produce q/k/v head-major via an
+    einsum (the ViT tower) save four [B, H, T, D]-sized copies per layer.
     """
-    B, T, HQ, D = q.shape
-    _, S, HK, _ = k.shape
+    assert layout in ("bthd", "bhtd"), layout
+    if layout == "bhtd":
+        B, HQ, T, D = q.shape
+        _, HK, S, _ = k.shape
+    else:
+        B, T, HQ, D = q.shape
+        _, S, HK, _ = k.shape
     if scale is None:
         scale = D ** -0.5
     if q_offset is None:
@@ -466,13 +476,18 @@ def flash_attention(
         kv_valid = jnp.broadcast_to(kv_valid, (B, S)).astype(jnp.int32)
 
     # [B, T, H, D] -> [B, H, T, D]; pad sequence dims to block multiples
-    qt = _pad_to(q.transpose(0, 2, 1, 3), 2, block_q)
-    kt = _pad_to(k.transpose(0, 2, 1, 3), 2, block_k)
-    vt = _pad_to(v.transpose(0, 2, 1, 3), 2, block_k)
+    if layout == "bhtd":
+        qt, kt, vt = q, k, v
+    else:
+        qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    qt = _pad_to(qt, 2, block_q)
+    kt = _pad_to(kt, 2, block_k)
+    vt = _pad_to(vt, 2, block_k)
     valid = _pad_to(kv_valid, 1, block_k)[:, None, :]   # [B, 1, S]
 
     out = _flash(qt, kt, vt, valid, q_off, causal, scale, block_q, block_k)
-    return out[:, :, :T].transpose(0, 2, 1, 3)
+    out = out[:, :, :T]
+    return out if layout == "bhtd" else out.transpose(0, 2, 1, 3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -580,6 +595,7 @@ def attention(
     scale: Optional[float] = None,
     use_pallas: Optional[bool] = None,
     q_offset: Optional[jnp.ndarray] = None,
+    layout: str = "bthd",
 ) -> jnp.ndarray:
     """Dispatch between our Pallas kernel, the XLA reference, and the
     bundled-kernel adapter (see _ATTN_IMPL)."""
@@ -597,11 +613,16 @@ def attention(
         impl = "pallas"  # dynamic offset => inference path, fwd-only
     if impl == "pallas":
         return flash_attention(q, k, v, kv_valid, causal=causal, scale=scale,
-                               q_offset=q_offset)
+                               q_offset=q_offset, layout=layout)
+    # remaining impls are bthd-native: relayout at the boundary
+    if layout == "bhtd":
+        q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
     if impl == "hybrid":
-        return flash_attention_hybrid(q, k, v, kv_valid, causal=causal,
-                                      scale=scale, q_offset=q_offset)
-    if impl == "bundled":
-        return _attention_bundled(q, k, v, kv_valid, causal, scale, q_offset)
-    return attention_reference(q, k, v, kv_valid, causal=causal, scale=scale,
-                               q_offset=q_offset)
+        out = flash_attention_hybrid(q, k, v, kv_valid, causal=causal,
+                                     scale=scale, q_offset=q_offset)
+    elif impl == "bundled":
+        out = _attention_bundled(q, k, v, kv_valid, causal, scale, q_offset)
+    else:
+        out = attention_reference(q, k, v, kv_valid, causal=causal,
+                                  scale=scale, q_offset=q_offset)
+    return out.transpose(0, 2, 1, 3) if layout == "bhtd" else out

