@@ -264,8 +264,15 @@ def _bwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref,
     if causal:
         carry = jax.lax.fori_loop(first, j_clear,
                                   functools.partial(body, masked=True), carry)
-    dk, dv = jax.lax.fori_loop(j_clear if causal else 0, nq,
-                               functools.partial(body, masked=False), carry)
+        dk, dv = jax.lax.fori_loop(j_clear, nq,
+                                   functools.partial(body, masked=False),
+                                   carry)
+    else:
+        # static trip count: python-unroll for MXU/VPU interleaving across
+        # blocks (see _fwd_kernel)
+        for j in range(nq):
+            carry = body(j, carry, masked=False)
+        dk, dv = carry
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
@@ -461,6 +468,10 @@ def flash_attention(
         if block_q is None:
             block_q = 128
     if block_k is None:
+        # NOTE round-2 finding: a half-S kv split measures ~1.4x faster in a
+        # STANDALONE microbench (unrolled blocks overlap MXU/VPU) but is a
+        # consistent ~2% full-step REGRESSION in-context -- standalone kernel
+        # timings on this chip do not transfer; trust the step bench.
         block_k = ceil128(S) if ceil128(S) <= 1280 else 256
     if block_q is None:
         block_q = ceil128(T) if ceil128(T) <= 1280 else 256
