@@ -119,6 +119,13 @@ class DataCollector:
                     cv2.imwrite(os.path.join(self.save_path, "semantics",
                                              f"{frame:04}.png"), semantics)
                 if depth is not None:
+                    if depth.ndim == 3:
+                        # raw CARLA 24-bit encoded depth: decode to the
+                        # reference's 8-bit normalized map
+                        # (data_agent.py:285-290)
+                        from simlingo_tpu.utils.geometry import convert_depth
+                        depth = (convert_depth(depth) * 255.0 + 0.5).astype(
+                            np.uint8)
                     cv2.imwrite(os.path.join(self.save_path, "depth",
                                              f"{frame:04}.png"), depth)
                 # BEV semantic raster from privileged boxes + route

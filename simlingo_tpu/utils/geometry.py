@@ -35,6 +35,20 @@ def conversion_2d(point: np.ndarray, translation: np.ndarray,
     return rotation_2d(yaw) @ np.asarray(point) + np.asarray(translation)
 
 
+def convert_depth(data: np.ndarray) -> np.ndarray:
+    """CARLA encoded depth map [H, W, 3] (R,G,B) -> normalized depth in [0,1].
+
+    Reference transfuser_utils.py:591-605: 24-bit depth decoded as
+    (R*65536 + G*256 + B) / (2^24 - 1), clipped to 50 m (0.05 of the 1 km
+    range) and rescaled by 20 so the saved map lies in [0, 1]. The data
+    agent stores it at 8 bit (reference data_agent.py:285-290).
+    """
+    data = np.asarray(data, np.float32)
+    normalized = data @ np.array([65536.0, 256.0, 1.0], np.float32)
+    normalized /= (256.0 ** 3 - 1)
+    return np.clip(normalized, 0.0, 0.05) * 20.0
+
+
 def obb_corners(center: np.ndarray, yaw: float,
                 extent: Tuple[float, float]) -> np.ndarray:
     """4 corners of an oriented box, extent = (half_len, half_wid)."""

@@ -46,3 +46,19 @@ def test_normalize_angle():
     assert abs(G.normalize_angle(3 * np.pi) - np.pi) < 1e-9 or \
         abs(G.normalize_angle(3 * np.pi) + np.pi) < 1e-9
     assert abs(G.normalize_angle(0.1) - 0.1) < 1e-12
+
+
+def test_convert_depth_matches_reference_encoding():
+    """CARLA 24-bit RGB depth -> [0,1] map (transfuser_utils.py:591-605)."""
+    from simlingo_tpu.utils.geometry import convert_depth
+    img = np.zeros((2, 3, 3), np.uint8)
+    # pixel encoding distance d meters: code = d/1000 * (2^24 - 1)
+    code = int(round(25.0 / 1000.0 * (256 ** 3 - 1)))      # 25 m
+    img[0, 0] = [(code >> 16) & 255, (code >> 8) & 255, code & 255]
+    code_far = int(round(500.0 / 1000.0 * (256 ** 3 - 1)))  # 500 m -> clipped
+    img[1, 2] = [(code_far >> 16) & 255, (code_far >> 8) & 255, code_far & 255]
+    out = convert_depth(img)
+    assert out.shape == (2, 3)
+    assert abs(out[0, 0] - 0.5) < 1e-3     # 25 m = 0.025 * 20
+    assert out[1, 2] == 1.0                # clipped at 50 m
+    assert out[0, 1] == 0.0

@@ -50,17 +50,54 @@ def test_commentary_generator(route):
     rec = gen.generate({"speed": 5.0, "target_speed": 5.1, "command": 4,
                         "speed_limit": 8.0})
     assert "maintains" in rec["commentary"]
-    rec2 = gen.generate({"speed": 5.0, "target_speed": 0.0, "command": 1,
-                         "light_hazard": True})
+    # stopping for a red light before a junction, turn command in range
+    rec2 = gen.generate({"speed": 0.5, "target_speed": 0.1, "command": 1,
+                         "light_hazard": True, "distance_to_junction": 10.0,
+                         "target_point": [15.0, 0.0]})
     assert "stops" in rec2["commentary"]
     assert "red traffic light" in rec2["commentary"]
-    assert "turns left" in rec2["commentary"]
-    # object placeholder template
+    assert "Turn left" in rec2["commentary"]
+    # leader-vehicle cause with a GT box -> appearance + placeholder template
+    lead = {"id": 7, "class": "car", "color_name": "red", "distance": 9.0,
+            "speed": 4.0, "num_points": 20, "position": [9.0, 0.0, 0.0],
+            "extent": [2.0, 1.0, 0.8]}
     rec3 = gen.generate({"speed": 5.0, "target_speed": 2.0, "command": 4,
-                         "speed_reduced_by_obj_type": "walker.pedestrian.01",
-                         "speed_reduced_by_obj_distance": 7.5})
+                         "speed_reduced_by_obj_type": "vehicle.car",
+                         "speed_reduced_by_obj_id": 7,
+                         "speed_reduced_by_obj_distance": 9.0},
+                        boxes=[lead])
+    assert "red vehicle" in rec3["commentary"]
     assert "<OBJECT>" in rec3["commentary_template"]
     assert rec3["placeholder"]["<OBJECT>"] in rec3["commentary"]
+    # junction cross-traffic reasoning
+    crossing = {"id": 9, "class": "car", "distance": 12.0, "speed": 6.0,
+                "num_points": 30, "position": [12.0, 3.0, 0.0],
+                "pointing_towards_junction": True, "brake": 0.0,
+                "extent": [2.0, 1.0, 0.8]}
+    green = {"id": 11, "class": "traffic_light", "affects_ego": True,
+             "state": "Green", "distance": 9.0}
+    rec4 = gen.generate({"speed": 4.0, "target_speed": 4.0, "command": 4,
+                         "speed_limit": 5.0, "is_in_junction": False,
+                         "distance_to_junction": 8.0},
+                        boxes=[crossing, green])
+    assert "traffic light is green" in rec4["commentary"]
+    assert "attention to the vehicle coming towards the junction" \
+        in rec4["commentary"]
+    # walker attention post-comment
+    walker = {"id": 3, "class": "walker", "distance": 8.0, "speed": 1.2,
+              "num_points": 12, "position": [8.0, 2.0, 0.0],
+              "extent": [0.4, 0.4, 1.0]}
+    rec5 = gen.generate({"speed": 5.0, "target_speed": 5.0, "command": 4,
+                         "speed_limit": 6.0}, boxes=[walker])
+    assert "Pay attention to the walker" in rec5["commentary"]
+    # scenario route management: construction bypass on a changed route
+    rec6 = gen.generate({"speed": 3.0, "target_speed": 3.0, "command": 4,
+                         "speed_limit": 6.0, "changed_route": True,
+                         "pos_global": [0.0, 0.0], "theta": 0.0,
+                         "route": [[5.0, 2.0], [6.0, 2.0]],
+                         "route_original": [[5.0, 0.0], [6.0, 0.0]]},
+                        scenario_name="ConstructionObstacleTwoWays")
+    assert "bypass the construction site" in rec6["commentary"]
 
     n = commentary.generate_route_commentary(rd)
     assert n == 30
@@ -272,20 +309,20 @@ def test_planner_request_lane_change():
 def test_commentary_obstacle_and_walker_branches():
     from simlingo_tpu.labels.commentary import CommentaryGenerator
     gen = CommentaryGenerator()
-    # planner-modified route without a lane-change command
+    # planner-modified route without a lane-change command: lane-change
+    # narration (about to leave the original lane -> gap reasoning)
     rec = gen.generate({"speed": 5.0, "target_speed": 5.0, "command": 4,
                         "changed_route": True})
-    assert "steers around the obstacle" in rec["commentary"]
+    assert "change to the neighbouring lane" in rec["commentary"]
     # crossing pedestrian (walker_hazard without a leading object)
     rec2 = gen.generate({"speed": 5.0, "target_speed": 2.0,
                          "walker_hazard": True, "command": 4})
-    assert rec2["commentary"] == ("The ego vehicle slows down because of the "
-                                  "pedestrian crossing the road and follows "
-                                  "the road.")
-    # explicit lane-change command wins over the obstacle phrasing
+    assert "slows down" in rec2["commentary"]
+    assert "crossing" in rec2["commentary"]
+    # explicit lane-change command with the target point in range
     rec3 = gen.generate({"speed": 5.0, "target_speed": 5.0, "command": 5,
-                         "changed_route": True})
-    assert "changes to the left lane" in rec3["commentary"]
+                         "target_point": [8.0, 1.0]})
+    assert "Do a lane change" in rec3["commentary"]
 
 
 def test_dreamer_obb_safety_labels():
