@@ -66,6 +66,10 @@ class LingoAgent:
             params = dict(params)
             params["llm"] = _q.merge_lora(params["llm"], params.pop("lora"),
                                           model_cfg.llm)
+        if self.cfg.int8_llm:
+            from simlingo_tpu.core.quantize import quantize_llm
+            params = dict(params)
+            params["llm"] = quantize_llm(params["llm"])
         self.params = params
         self.max_prompt_len = max_prompt_len
         self.controller = VehicleController(self.cfg)

@@ -14,6 +14,10 @@ from typing import List, Tuple
 class AgentConfig:
     eval_route_as: str = "target_point"
     use_cot: bool = True                 # commentary chain-of-thought per frame
+    # w8a16 decode weights for the (LoRA-merged) LLM: ~0.7 ms/token vs 1.0
+    # bf16 on v5e -- the CoT path's latency budget depends on it
+    # (docs/BENCH_NOTES.md round 2). Set False to serve in bf16.
+    int8_llm: bool = True
 
     carla_fps: int = 20
     # JPEG round-trip the camera frame so inference sees the same compression
