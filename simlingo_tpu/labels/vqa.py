@@ -396,6 +396,21 @@ def _vehicle_chain(chain: int, tag: str, info: Dict, box: Dict,
     out.append(_entry(f"What is {desc} doing?", motion,
                       chain, 1, "perception", [tag]))
 
+    # destination (reference determine_path_crossing "Where is X going?")
+    if speed >= 0.2:
+        yaw = float(box.get("yaw", 0.0))
+        if abs(yaw) < 0.6:
+            going = f"{desc.capitalize()} is continuing along the road ahead."
+        elif abs(yaw) > 2.5:
+            going = (f"{desc.capitalize()} is heading towards the ego "
+                     "vehicle on the opposite direction.")
+        elif yaw > 0:
+            going = f"{desc.capitalize()} is turning to its left."
+        else:
+            going = f"{desc.capitalize()} is turning to its right."
+        out.append(_entry(f"Where is {desc} going?", going,
+                          chain, 1, "prediction", [tag]))
+
     crossing = _crosses_ego_path(box)
     if crossing and speed > 0.2:
         a = (f"Yes, {desc} is on a course that crosses the ego vehicle's "
@@ -525,6 +540,46 @@ def _roadlayout_qas(current: Dict) -> List[Dict]:
             "Yes, the route ahead is blocked by an obstruction, so the ego "
             "vehicle must temporarily leave its lane to pass it.",
             3, 0, "planning", []))
+    # ego lane position (reference "On which lane is the ego vehicle...")
+    if "ego_lane_number" in current and "num_lanes_same_direction" in current:
+        i = int(current["ego_lane_number"])
+        n = int(current["num_lanes_same_direction"])
+        out.append(_entry(
+            "On which lane is the ego vehicle (left most lane of the lanes "
+            "going in the same direction is indicated with 0)?",
+            f"The ego vehicle is on lane {i} of {n} "
+            f"lane{'s' if n != 1 else ''} going in its direction.",
+            1, 2, "perception", []))
+    # lane markings + permitted lane changes (reference analyze_road_layout)
+    marks = {side: str(current.get(f"lane_marking_{side}", "")).lower()
+             for side in ("left", "right")}
+    for side in ("left", "right"):
+        if marks[side]:
+            out.append(_entry(
+                f"What lane marking is on the {side} side of the ego car?",
+                f"There is a {marks[side]} lane marking on the {side} side.",
+                1, 3, "perception", []))
+    if marks["left"] or marks["right"]:
+        allowed = [s for s in ("left", "right") if "broken" in marks[s]]
+        if len(allowed) == 2:
+            ego_ans = "The ego vehicle is allowed to change lanes to both sides."
+            other_ans = ("Other vehicles are allowed to change into the ego "
+                         "lane from both sides.")
+        elif allowed:
+            ego_ans = (f"The ego vehicle is only allowed to change lanes "
+                       f"to the {allowed[0]}.")
+            other_ans = (f"Other vehicles are allowed to change into the "
+                         f"ego lane from the {allowed[0]} side.")
+        else:
+            ego_ans = "The ego vehicle is not allowed to change lanes."
+            other_ans = ("Other vehicles are not allowed to change into "
+                         "the ego lane.")
+        out.append(_entry(
+            "In which direction is the ego car allowed to change lanes?",
+            ego_ans, 2, 1, "prediction", []))
+        out.append(_entry(
+            "From which side are other vehicles allowed to change lanes "
+            "into the ego lane?", other_ans, 2, 2, "prediction", []))
     return out
 
 
@@ -594,6 +649,16 @@ def build_graph_qa(current: Dict, boxes: Sequence[Dict]
             cats["stopsign"] += _traffic_element_chain(
                 s_chain, tag, info, box, current)
             s_chain += 1
+    # scene-level pedestrian count over VISIBLE walkers (reference
+    # process_pedestrians: "How many pedestrians are there?")
+    ped_tags = [t for t, i in infos.items() if i["Category"] == "Pedestrian"]
+    n_ped = len(ped_tags)
+    cats["pedestrian"].insert(0, _entry(
+        "How many pedestrians are there?",
+        ("There are no pedestrians." if n_ped == 0 else
+         "There is 1 pedestrian." if n_ped == 1 else
+         f"There are {n_ped} pedestrians."),
+        0, 0, "perception", ped_tags))
     cats["roadlayout"] = _roadlayout_qas(current)
     cats["ego"] = _ego_qas(current, infos)
     for cat in cats:

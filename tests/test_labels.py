@@ -403,19 +403,21 @@ def test_vqa_graph_chains_and_visibility():
     amb = [i for i in infos.values() if i["id"] == 11][0]
     assert amb["Visual_description"] == "white ambulance"
 
-    # vehicle chain: 4 layers, linked, tags present everywhere
+    # vehicle chain: 5 layers (incl. destination), linked, tags everywhere
     chain = rec["QA"]["dynamic_vehicles"]
-    assert len(chain) == 4
-    assert [e["layer"] for e in chain] == [0, 1, 2, 3]
+    assert len(chain) == 5
+    assert any("going" in q["Q"] for q in chain)
+    assert [e["layer"] for e in chain] == [0, 1, 1, 2, 3]
     assert [e["qa_type"] for e in chain] == ["perception", "perception",
-                                             "prediction", "planning"]
+                                             "prediction", "prediction",
+                                             "planning"]
     for i, e in enumerate(chain):
         assert e["connection_up"] == (i - 1 if i > 0 else -1)
-        assert e["connection_down"] == (i + 1 if i < 3 else -1)
+        assert e["connection_down"] == (i + 1 if i < len(chain) - 1 else -1)
         assert e["object_tags"][0] in infos
         assert e["object_tags"][0] in e["Q"]
     # the ambulance limits the ego -> planning says slow down / follow
-    assert "ego vehicle should" in chain[3]["A"]
+    assert "ego vehicle should" in chain[-1]["A"]
 
     # pedestrian crossing prediction: walking toward the road (yaw +90deg
     # from the right side) => crossing
@@ -454,3 +456,37 @@ def test_vqa_crossing_geometry():
     assert not _crosses_ego_path({"position": [10.0, -4.0], "yaw": 0.0})
     # already on the corridor
     assert _crosses_ego_path({"position": [12.0, 0.5], "yaw": 0.0})
+
+
+def test_vqa_lane_and_marking_questions():
+    """Round-2 additions toward the reference's question inventory: ego lane
+    index, lane markings, permitted lane-change directions, pedestrian
+    count, per-vehicle destination."""
+    from simlingo_tpu.labels.vqa import build_graph_qa
+
+    current = {"speed": 5.0, "target_speed": 5.0, "command": 4,
+               "junction": False, "num_lanes_same_direction": 2,
+               "num_lanes_opposite_direction": 1, "ego_lane_number": 1,
+               "lane_marking_left": "Broken", "lane_marking_right": "Solid"}
+    boxes = [{"id": 1, "class": "walker", "position": [6.0, -2.0, 0.0],
+              "speed": 1.0, "num_points": 20, "extent": [0.4, 0.4, 1.0]},
+             {"id": 2, "class": "car", "position": [10.0, 3.0, 0.0],
+              "speed": 4.0, "yaw": 1.2, "num_points": 30,
+              "extent": [2.2, 1.0, 0.8]}]
+    cats = build_graph_qa(current, boxes)
+    road_q = " ".join(e["Q"] for e in cats["roadlayout"])
+    road_a = " ".join(e["A"] for e in cats["roadlayout"])
+    assert "On which lane is the ego vehicle" in road_q
+    assert "lane 1 of 2" in road_a
+    assert "lane marking is on the left side" in road_q
+    assert "broken lane marking" in road_a
+    assert "allowed to change lanes" in road_q
+    assert "only allowed to change lanes to the left" in road_a
+    assert "From which side are other vehicles allowed" in road_q
+    ped = cats["pedestrian"]
+    assert ped[0]["Q"] == "How many pedestrians are there?"
+    assert "1 pedestrian" in ped[0]["A"]
+    veh_q = " ".join(e["Q"] for e in cats["dynamic_vehicles"])
+    veh_a = " ".join(e["A"] for e in cats["dynamic_vehicles"])
+    assert "going?" in veh_q
+    assert "turning to its left" in veh_a
