@@ -107,17 +107,81 @@ try:
             lidar = input_data.get("lidar")
             lidar_pts = (np.asarray(lidar[1])[:, :3]
                          if lidar is not None else None)
+            lane_info = self._ego_lane_info(pos)
+            if lane_info:
+                actors = list(actors) + [dict(lane_info, **{
+                    "class": "ego_info"})]
             out = self.collector.tick(obs, rgb=np.ascontiguousarray(rgb),
                                       rgb_augmented=np.ascontiguousarray(
                                           rgb_aug),
                                       boxes=actors,
                                       scenario_result=scenario_result,
-                                      lidar_half_sweep=lidar_pts)
+                                      lidar_half_sweep=lidar_pts,
+                                      extra_measurements=lane_info)
             control = carla.VehicleControl()
             control.steer = float(out["steer"])
             control.throttle = float(out["throttle"])
             control.brake = float(out["brake"])
             return control
+
+        def _ego_lane_info(self, pos):
+            """Map-derived lane/junction context (reference
+            data_agent.py:594-710 ego_info): lane counts per direction,
+            ego lane index from the leftmost same-direction lane, lane
+            markings, distance to the next junction."""
+            try:
+                import carla
+                from srunner.scenariomanager.carla_data_provider import (
+                    CarlaDataProvider)
+                world_map = CarlaDataProvider.get_map()
+                loc = carla.Location(x=float(pos[0]), y=float(pos[1]))
+                wp = world_map.get_waypoint(loc)
+                info = {
+                    "is_in_junction": bool(wp.is_junction),
+                    "lane_marking_left": str(wp.left_lane_marking.type),
+                    "lane_marking_right": str(wp.right_lane_marking.type),
+                }
+                # junction distance: walk forward along the lane
+                if wp.is_junction:
+                    info["distance_to_junction"] = 0.0
+                else:
+                    info["distance_to_junction"] = None
+                    probe = wp
+                    travelled = 0.0
+                    for _ in range(40):
+                        nxt = probe.next(2.0)
+                        if not nxt:
+                            break
+                        travelled += 2.0
+                        probe = nxt[0]
+                        if probe.is_junction:
+                            info["distance_to_junction"] = travelled
+                            break
+                # count driving lanes per direction; index from the left
+                ego_dir = wp.lane_id / abs(wp.lane_id)
+                n_same, n_opp, left_of_ego = 1, 0, 0
+                for side, stepper in (("left", "get_left_lane"),
+                                      ("right", "get_right_lane")):
+                    probe, passed_opposite = wp, False
+                    for _ in range(8):
+                        probe = getattr(probe, stepper)()
+                        if probe is None or probe.lane_type != \
+                                carla.LaneType.Driving:
+                            break
+                        same = (probe.lane_id / abs(probe.lane_id)) == ego_dir
+                        if same and not passed_opposite:
+                            n_same += 1
+                            if side == "left":
+                                left_of_ego += 1
+                        elif not same:
+                            passed_opposite = True
+                            n_opp += 1
+                info.update(num_lanes_same_direction=n_same,
+                            num_lanes_opposite_direction=n_opp,
+                            ego_lane_number=left_of_ego)
+                return info
+            except Exception:
+                return {}
 
         def _static_obstacles(self):
             """Global positions of static props blocking the route

@@ -76,7 +76,8 @@ class DataCollector:
              scenario_result=None,
              lidar_half_sweep: Optional[np.ndarray] = None,
              semantics: Optional[np.ndarray] = None,
-             depth: Optional[np.ndarray] = None) -> Dict:
+             depth: Optional[np.ndarray] = None,
+             extra_measurements: Optional[Dict] = None) -> Dict:
         """Run the expert; persist sensors on save frames.
 
         lidar_half_sweep: ego-frame points of THIS tick's half revolution
@@ -86,7 +87,8 @@ class DataCollector:
         aug = self.sample_camera_augmentation()
         obs.augmentation_rotation = aug["rotation"]
         obs.augmentation_translation = aug["translation"]
-        out = self.expert.tick(obs, scenario_result=scenario_result)
+        out = self.expert.tick(obs, scenario_result=scenario_result,
+                               extra_measurements=extra_measurements)
 
         full_sweep = None
         if lidar_half_sweep is not None and self.save_lidar_enabled:

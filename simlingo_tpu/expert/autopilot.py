@@ -322,7 +322,9 @@ class AutoPilot:
 
     def tick(self, obs: ExpertObservation,
              scenario_result: Optional[Tuple[float, bool, Optional[List]]]
-             = None) -> Dict[str, Any]:
+             = None,
+             extra_measurements: Optional[Dict[str, Any]] = None
+             ) -> Dict[str, Any]:
         """One expert decision + (every data_save_freq steps) a measurement
         record in the reference schema.
 
@@ -356,6 +358,11 @@ class AutoPilot:
 
         record = self._measurement_record(obs, steer, throttle, brake,
                                           target_speed, reduced)
+        if extra_measurements:
+            # map-derived fields the offline expert cannot compute (lane
+            # counts/markings, junction distance -- reference data_agent's
+            # ego_info); consumed by the VQA / commentary generators
+            record.update(extra_measurements)
         if (self.save_path is not None
                 and self.step_count % self.data_save_freq == 0):
             frame = self.step_count // self.data_save_freq
