@@ -85,9 +85,10 @@ class DrivingDatasetConfig:
     use_town13: bool = True
     filter_infractions: bool = True
     seed: int = 42
-    # ship raw uint8 frames; crop/resize/normalize/tile run on-device fused
-    # into the train step (north-star dataloader-preprocessing item)
-    device_preprocess: bool = False
+    # ship raw uint8 frames; crop/resize/normalize/tile run fused on-device
+    # inside the train step (north-star fused-preprocessing path). False
+    # falls back to cv2-on-CPU per worker (the reference's layout).
+    device_preprocess: bool = True
 
 
 def _load_templates(template_dir: Optional[str], name: str) -> Dict:

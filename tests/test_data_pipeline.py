@@ -110,15 +110,25 @@ def test_dataset_to_model_end_to_end(fake_dataset):
     from simlingo_tpu.models.vit import ViTConfig
     from simlingo_tpu.models.qwen2 import Qwen2Config
 
+    # CPU-preprocessing fallback path (device_preprocess=True is the
+    # default: raw uint8 frames, fused on-device tiling)
     ds = DrivingDataset(DrivingDatasetConfig(
         data_root=fake_dataset, split="train", use_town13=False,
         use_commentary=False, use_qa=False, img_shift_augmentation=False,
-        route_as="target_point", image_size=56, max_num_grid=2))
+        route_as="target_point", image_size=56, max_num_grid=2,
+        device_preprocess=False))
     tok = SimLingoTokenizer()
 
     rng = np.random.RandomState(0)
     samples = [ds.get(i, rng) for i in [0, 5]]
     assert samples[0].image.shape[0] == 2      # 1x2 grid after hood crop
+
+    ds_raw = DrivingDataset(DrivingDatasetConfig(
+        data_root=fake_dataset, split="train", use_town13=False,
+        use_commentary=False, use_qa=False, img_shift_augmentation=False,
+        route_as="target_point", image_size=56, max_num_grid=2))
+    raw = ds_raw.get(0, np.random.RandomState(0))
+    assert raw.image.dtype == np.uint8 and raw.image.ndim == 3
     assert "Current speed: 5.0 m/s." in samples[0].question
     assert "<TARGET_POINT>" in samples[0].question
 
