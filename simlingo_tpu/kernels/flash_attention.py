@@ -278,6 +278,180 @@ def _bwd_kernel(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref,
 
 
 # ---------------------------------------------------------------------------
+# GQA-packed kernels: all `group` query heads sharing one kv head run in ONE
+# grid program. Wins vs the per-q-head grid (the LLM is 14 q / 2 kv heads):
+#   * the kv block is DMA'd once per program instead of `group` times;
+#   * the score matmul batches group*block_q rows onto the MXU (M=896 vs 128);
+#   * dk/dv accumulate over the group INSIDE the kernel -- no [B, HQ, S, D]
+#     expanded gradient buffers and no group-reduce pass afterwards.
+# Layout: q viewed as [B, HK, group, T, D] (a FREE reshape of [B, HQ, T, D]
+# when heads are kv-major, the standard GQA order). Every packed tile spans
+# the SAME slot range across the group, so causal pruning bounds stay uniform.
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_gqa(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref,
+                    *, scale2: float, causal: bool, block_q: int,
+                    block_k: int, kv_len: int, group: int):
+    # q_ref: [1, 1, G, bq, D]; k/v_ref: [1, 1, S, D]; valid_ref: [1, 1, S]
+    # o_ref: [1, 1, G, bq, D]; lse_ref: [1, 1, G, STAT_SUBLANES, bq]
+    qi = pl.program_id(2)
+    off = off_ref[0, 0]
+    q = q_ref[0, 0]                                       # [G, bq, D]
+    G, bq, D = q.shape
+    q = (q.astype(jnp.float32) * scale2).astype(q_ref.dtype)
+    q = q.reshape(G * bq, D)
+    nk = kv_len // block_k
+    rows = G * bq
+
+    if causal:
+        # slot of packed row r = off + qi*bq + (r mod bq): uniform range
+        # [base, base+bq) across the group
+        row_slot = off + qi * block_q + jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 0), bq)
+        last = (off + qi * block_q + bq - 1) // block_k + 1
+        nk_eff = jnp.clip(last, 0, nk)
+        j_full = jnp.clip((off + qi * block_q - block_k + 1) // block_k + 1,
+                          0, nk_eff)
+    else:
+        nk_eff = nk
+        j_full = nk
+
+    def body(j, carry, masked):
+        acc, m_prev, l_prev = carry
+        kb = k_ref[0, 0, pl.ds(j * block_k, block_k)]
+        vb = v_ref[0, 0, pl.ds(j * block_k, block_k)]
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [G*bq, bk]
+        bias = jnp.where(
+            valid_ref[0, 0, pl.ds(j * block_k, block_k)] != 0, 0.0, NEG_INF)
+        s = s + bias[None, :]
+        if masked:
+            kv_slot = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, block_k), 1)
+            s = jnp.where(kv_slot <= row_slot, s, NEG_INF)
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp2(s - m_new[:, None])
+        alpha = jnp.exp2(m_prev - m_new)
+        l_new = l_prev * alpha + p.sum(axis=-1)
+        acc = acc * alpha[:, None] + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((rows, D), jnp.float32)
+    m0 = jnp.full((rows,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((rows,), jnp.float32)
+    carry = jax.lax.fori_loop(0, j_full,
+                              functools.partial(body, masked=False),
+                              (acc0, m0, l0))
+    if causal:
+        carry = jax.lax.fori_loop(j_full, nk_eff,
+                                  functools.partial(body, masked=True),
+                                  carry)
+    acc, m, l = carry
+
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = (acc / l_safe[:, None]).reshape(G, bq, D).astype(
+        o_ref.dtype)
+    # lse stored PACKED-FLAT [STAT, G*T_tilemajor]: row p = qi*(G*bq) +
+    # g*bq + r -- the backward (same q tiling) reads it as a plain 1-D lane
+    # slice, no shape casts Mosaic might reject
+    lse = jnp.where(l > 0, m + jnp.log2(l_safe), NEG_INF)     # [G*bq]
+    lse_ref[0, 0] = jnp.broadcast_to(lse[None, :],
+                                     (STAT_SUBLANES, rows))
+
+
+def _bwd_kernel_gqa(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref,
+                    lse_ref, dq_ref, dk_ref, dv_ref, *, scale: float,
+                    scale2: float, causal: bool, block_q: int, block_k: int,
+                    q_len: int, group: int):
+    """GQA-packed fused backward, grid (B, HK, nk): each program owns one kv
+    block and loops over slot-aligned [group, block_q] q tiles; dk/dv are
+    group-accumulated locally and written ONCE at kv-head granularity.
+    block_q MUST equal the forward's (the packed-flat lse tiling assumes it).
+    lse_ref: [1, 1, STAT_SUBLANES, G*T] packed as in _fwd_kernel_gqa."""
+    ki = pl.program_id(2)
+    off = off_ref[0, 0]
+    kb = k_ref[0, 0]                                       # [bk, D]
+    vb = v_ref[0, 0]
+    bk, D = kb.shape
+    nq = q_len // block_q
+    G = group
+    rows = G * block_q
+
+    @pl.when(ki == 0)
+    def _():
+        dq_ref[0, 0] = jnp.zeros_like(dq_ref[0, 0])
+
+    kv_bias = jnp.where(valid_ref[0, 0, pl.ds(ki * block_k, bk)] != 0,
+                        0.0, NEG_INF)
+    if causal:
+        kv_slot = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (rows, bk), 1)
+        first = jnp.clip((ki * block_k - off) // block_q, 0, nq)
+        j_clear = jnp.clip(-((off - ki * block_k - block_k + 1) // block_q),
+                           first, nq)
+    else:
+        first = 0
+        j_clear = 0
+
+    def body(j, carry, masked):
+        dk, dv = carry
+        sl = pl.ds(j * block_q, block_q)
+        qb = q_ref[0, 0, :, sl].reshape(rows, D)
+        dob = do_ref[0, 0, :, sl].reshape(rows, D)
+        ob = o_ref[0, 0, :, sl].reshape(rows, D)
+        delta = (dob.astype(jnp.float32) * ob.astype(jnp.float32)).sum(axis=-1)
+        lse = lse_ref[0, 0, 0, pl.ds(j * rows, rows)]       # [G*bq]
+        s = scale2 * jax.lax.dot_general(
+            qb, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + kv_bias[None, :]
+        if masked:
+            row_slot = off + j * block_q + jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 0),
+                block_q)
+            s = jnp.where(kv_slot <= row_slot, s, NEG_INF)
+        p = jnp.exp2(s - lse[:, None])
+        pc = p.astype(kb.dtype)
+        dv = dv + jax.lax.dot_general(
+            pc, dob, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            dob, vb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta[:, None])).astype(kb.dtype)
+        dk = dk + scale * jax.lax.dot_general(
+            ds, qb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq_upd = scale * jax.lax.dot_general(
+            ds, kb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq_ref[0, 0, :, sl] = (
+            dq_ref[0, 0, :, sl].astype(jnp.float32)
+            + dq_upd.reshape(G, block_q, D)).astype(dq_ref.dtype)
+        return dk, dv
+
+    dk0 = jnp.zeros((bk, D), jnp.float32)
+    dv0 = jnp.zeros((bk, D), jnp.float32)
+    carry = (dk0, dv0)
+    if causal:
+        carry = jax.lax.fori_loop(first, j_clear,
+                                  functools.partial(body, masked=True), carry)
+        dk, dv = jax.lax.fori_loop(j_clear, nq,
+                                   functools.partial(body, masked=False),
+                                   carry)
+    else:
+        for j in range(nq):
+            carry = body(j, carry, masked=False)
+        dk, dv = carry
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
 # Host-side wrappers
 # ---------------------------------------------------------------------------
 
@@ -339,6 +513,112 @@ def _flash_fwd(q, k, v, kv_valid, q_off, causal, scale, block_q, block_k):
     out, lse = _flash_fwd_impl(q, k, v, kv_valid, q_off, causal, scale,
                                block_q, block_k)
     return out, (q, k, v, kv_valid, q_off, out, lse)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_gqa(q5, k, v, kv_valid, q_off, causal, scale, block_q, block_k):
+    out, _ = _flash_gqa_fwd_impl(q5, k, v, kv_valid, q_off, causal, scale,
+                                 block_q, block_k)
+    return out
+
+
+def _flash_gqa_fwd_impl(q5, k, v, kv_valid, q_off, causal, scale,
+                        block_q, block_k):
+    # q5: [B, HK, G, T, D]; k/v: [B, HK, S, D]; kv_valid: [B, 1, S] int32
+    B, HK, G, T, D = q5.shape
+    S = k.shape[2]
+    seg = T // block_q
+
+    kernel = functools.partial(
+        _fwd_kernel_gqa, scale2=scale * LOG2E, causal=causal,
+        block_q=block_q, block_k=block_k, kv_len=S, group=G)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(B, HK, seg),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, G, block_q, D),
+                         lambda b, h, i: (b, h, 0, i, 0)),
+            pl.BlockSpec((1, 1, S, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, S, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, S), lambda b, h, i: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, G, block_q, D),
+                         lambda b, h, i: (b, h, 0, i, 0)),
+            pl.BlockSpec((1, 1, STAT_SUBLANES, G * block_q),
+                         lambda b, h, i: (b, h, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, HK, G, T, D), q5.dtype),
+            jax.ShapeDtypeStruct((B, HK, STAT_SUBLANES, G * T),
+                                 jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(q_off, q5, k, v, kv_valid)
+    return out, lse
+
+
+def _flash_gqa_fwd(q5, k, v, kv_valid, q_off, causal, scale, block_q,
+                   block_k):
+    out, lse = _flash_gqa_fwd_impl(q5, k, v, kv_valid, q_off, causal, scale,
+                                   block_q, block_k)
+    return out, (q5, k, v, kv_valid, q_off, out, lse)
+
+
+def _flash_gqa_bwd(causal, scale, block_q, block_k, res, dout):
+    q5, k, v, kv_valid, q_off, out, lse = res
+    B, HK, G, T, D = q5.shape
+    S = k.shape[2]
+
+    # q tiling is PINNED to the forward's block_q (the packed-flat lse
+    # layout encodes it); kv block sized so [G*bq, bk] fp32 tiles x3 stay
+    # within scoped VMEM
+    bk_limit = max((24 * 1024 * 1024) // (12 * G * block_q), 128)
+    block_k = S if (S <= 1280 and S <= bk_limit) else min(512, bk_limit)
+    block_k = max(128, block_k // 128 * 128)
+    while S % block_k != 0:
+        block_k //= 2
+    nk_grid = S // block_k
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_gqa, scale=scale,
+                          scale2=scale * LOG2E, causal=causal,
+                          block_q=block_q, block_k=block_k, q_len=T,
+                          group=G),
+        grid=(B, HK, nk_grid),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, G, T, D), lambda b, h, i: (b, h, 0, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, S), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, G, T, D), lambda b, h, i: (b, h, 0, 0, 0)),
+            pl.BlockSpec((1, 1, G, T, D), lambda b, h, i: (b, h, 0, 0, 0)),
+            pl.BlockSpec((1, 1, STAT_SUBLANES, G * T),
+                         lambda b, h, i: (b, h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, G, T, D), lambda b, h, i: (b, h, 0, 0, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i: (b, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, HK, G, T, D),
+                                 q5.dtype if nk_grid == 1 else jnp.float32),
+            jax.ShapeDtypeStruct((B, HK, S, D), k.dtype),
+            jax.ShapeDtypeStruct((B, HK, S, D), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(q_off, q5, k, v, kv_valid, out, dout, lse)
+    return dq.astype(q5.dtype), dk, dv, None, None
+
+
+_flash_gqa.defvjp(_flash_gqa_fwd, _flash_gqa_bwd)
 
 
 def _flash_bwd(causal, scale, block_q, block_k, res, dout):
@@ -496,7 +776,18 @@ def flash_attention(
     vt = _pad_to(vt, 2, block_k)
     valid = _pad_to(kv_valid, 1, block_k)[:, None, :]   # [B, 1, S]
 
-    out = _flash(qt, kt, vt, valid, q_off, causal, scale, block_q, block_k)
+    group = HQ // HK
+    if group > 1 and os.environ.get("SIMLINGO_ATTN_GQA", "1") == "1":
+        # GQA-packed path: free reshape to [B, HK, group, T, D] (heads are
+        # kv-major), one grid program per kv head per q block
+        Tp = qt.shape[2]
+        q5 = qt.reshape(B, HK, group, Tp, D)
+        out = _flash_gqa(q5, kt, vt, valid, q_off, causal, scale,
+                         block_q, block_k)
+        out = out.reshape(B, HQ, Tp, D)
+    else:
+        out = _flash(qt, kt, vt, valid, q_off, causal, scale, block_q,
+                     block_k)
     out = out[:, :, :T]
     return out if layout == "bhtd" else out.transpose(0, 2, 1, 3)
 
