@@ -270,6 +270,90 @@ JUDGE_PROMPT = (
     "Sentence 1: {answer}\nSentence 2: {prediction}")
 
 
+# ---------------------------------------------------------------------------
+# SPICE (scene-graph tuple F1) -- lexicon-driven analogue
+# ---------------------------------------------------------------------------
+
+# driving-domain lexicon: our label generators and the reference's emit
+# templated language over a closed object/attribute/relation vocabulary,
+# so a lexicon chunker recovers the same tuples a dependency parse would
+_SPICE_OBJECTS = (
+    "traffic light", "stop sign", "speed limit", "construction site",
+    "lane change", "target speed", "ego vehicle", "vehicle", "pedestrian",
+    "walker", "bicycle", "car", "truck", "van", "bus", "ambulance",
+    "firetruck", "police car", "junction", "intersection", "lane", "route",
+    "road", "obstacle", "gap", "door", "sidewalk", "crosswalk",
+)
+_SPICE_ATTRIBUTES = (
+    "red", "green", "yellow", "orange", "blue", "white", "black", "grey",
+    "gray", "silver", "brown", "stationary", "stopped", "moving", "parked",
+    "slow", "fast", "near", "nearby", "far", "left", "right", "front",
+    "behind", "oncoming", "crossing", "broken", "solid", "open", "blocked",
+    "clear", "important",
+)
+_SPICE_RELATIONS = (
+    "stay behind", "drive closer", "change lanes", "changes to", "slow down",
+    "slows down", "speed up", "accelerate", "accelerates", "decelerate",
+    "brake", "stop", "stops", "follow", "follows", "yield", "yields",
+    "bypass", "overtake", "wait", "waits", "turn left", "turn right",
+    "cross", "crosses", "pay attention", "watch", "avoid", "maintains",
+    "maintain", "exit", "affected by", "prepare",
+)
+
+
+def scene_tuples(text: str) -> set:
+    """Extract (object), (attribute, object) and (relation, object) tuples."""
+    t = " " + " ".join(_tokenize(text)) + " "
+    tuples = set()
+    for obj in _SPICE_OBJECTS:
+        start = 0
+        while True:
+            i = t.find(" " + obj + " ", start)
+            if i < 0:
+                i = t.find(" " + obj + "s ", start)
+                if i < 0:
+                    break
+            tuples.add((obj,))
+            # attribute immediately before the object mention
+            prefix = t[:i].split()
+            if prefix and prefix[-1] in _SPICE_ATTRIBUTES:
+                tuples.add((prefix[-1], obj))
+            start = i + 1
+    for rel in _SPICE_RELATIONS:
+        if " " + rel + " " in t or " " + rel + "." in t:
+            tuples.add(("rel", rel))
+            # relation's object = first lexicon object after the relation
+            after = t.split(" " + rel + " ", 1)
+            if len(after) == 2:
+                for obj in _SPICE_OBJECTS:
+                    if " " + obj + " " in " " + after[1]:
+                        tuples.add((rel, obj))
+                        break
+    for attr in _SPICE_ATTRIBUTES:
+        if " " + attr + " " in t:
+            tuples.add(("attr", attr))
+    return tuples
+
+
+def spice(preds: Sequence[str], refs: Sequence[str]) -> float:
+    """Scene-graph tuple F1 (SPICE analogue; reference eval_metrics.py uses
+    pycocoevalcap's Java SPICE -- this lexicon-driven extractor covers the
+    closed driving-QA vocabulary both label generators emit)."""
+    f1s = []
+    for p, r in zip(preds, refs):
+        tp_set = scene_tuples(p)
+        ref_set = scene_tuples(r)
+        if not ref_set and not tp_set:
+            f1s.append(1.0)
+            continue
+        inter = len(tp_set & ref_set)
+        prec = inter / len(tp_set) if tp_set else 0.0
+        rec = inter / len(ref_set) if ref_set else 0.0
+        f1s.append(0.0 if prec + rec == 0
+                   else 2 * prec * rec / (prec + rec))
+    return float(np.mean(f1s)) if f1s else 0.0
+
+
 def gpt_judge(preds: Sequence[str], refs: Sequence[str],
               model: str = "gpt-4o", api_key: Optional[str] = None,
               base_url: Optional[str] = None) -> Optional[float]:
@@ -299,6 +383,7 @@ def evaluation_suite(preds: Sequence[str], refs: Sequence[str],
     out["rouge_l"] = rouge_l(preds, refs)
     out["cider"] = cider(preds, refs)
     out["meteor"] = meteor(preds, refs)
+    out["spice"] = spice(preds, refs)
     if use_judge:
         j = gpt_judge(preds, refs)
         if j is not None:

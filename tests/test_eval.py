@@ -89,3 +89,28 @@ def test_dreamer_rules():
     ])
     assert abs(agg["success_rate_total"] - 2 / 3) < 1e-9
     assert agg["success_rate_stop"] == 0.5
+
+
+def test_spice_scene_tuples_and_f1():
+    from simlingo_tpu.eval.metrics import scene_tuples, spice
+
+    t = scene_tuples("The ego vehicle stays behind the red vehicle and "
+                     "stops because of the red traffic light.")
+    assert ("red", "vehicle") in t
+    assert ("red", "traffic light") in t
+    assert ("ego vehicle",) in t
+    assert ("rel", "stops") in t
+
+    # same scene content, different phrasing -> high F1 (relation-object
+    # pairing is word-order sensitive, so not exactly 1.0)
+    a = "The ego vehicle slows down to stay behind the red vehicle."
+    b = "To stay behind the red vehicle, the ego vehicle slows down."
+    assert spice([a], [b]) > 0.8
+    # unrelated content -> low F1
+    lo = spice(["The pedestrian crosses the road."],
+               ["The ego vehicle accelerates to the speed limit."])
+    assert lo < 0.5
+    # partial overlap is between the two
+    mid = spice(["The ego vehicle stops for the red traffic light."],
+                ["The ego vehicle stops for the stop sign."])
+    assert 0.2 < mid < 1.0
