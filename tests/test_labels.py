@@ -403,41 +403,43 @@ def test_vqa_graph_chains_and_visibility():
     amb = [i for i in infos.values() if i["id"] == 11][0]
     assert amb["Visual_description"] == "white ambulance"
 
-    # vehicle chain: 5 layers (incl. destination), linked, tags everywhere
+    # vehicle chain (reference generate_vehicle_information :1516-2253):
+    # position / trajectory / motion / path crossing, linked, tagged
     chain = rec["QA"]["dynamic_vehicles"]
-    assert len(chain) == 5
+    assert len(chain) == 4
     assert any("going" in q["Q"] for q in chain)
-    assert [e["layer"] for e in chain] == [0, 1, 1, 2, 3]
-    assert [e["qa_type"] for e in chain] == ["perception", "perception",
-                                             "prediction", "prediction",
-                                             "planning"]
+    assert [e["layer"] for e in chain] == [0, 1, 2, 3]
+    assert [e["qa_type"] for e in chain] == ["perception", "prediction",
+                                             "prediction", "planning"]
     for i, e in enumerate(chain):
         assert e["connection_up"] == (i - 1 if i > 0 else -1)
         assert e["connection_down"] == (i + 1 if i < len(chain) - 1 else -1)
         assert e["object_tags"][0] in infos
-        assert e["object_tags"][0] in e["Q"]
-    # the ambulance limits the ego -> planning says slow down / follow
-    assert "ego vehicle should" in chain[-1]["A"]
+    # crossing planning names the leading vehicle
+    assert "crossing the path" in chain[-1]["Q"]
+    assert "pay attention to not crash into it" in chain[-1]["A"]
 
     # pedestrian crossing prediction: walking toward the road (yaw +90deg
     # from the right side) => crossing
     ped = rec["QA"]["pedestrian"]
     assert any("ready to stop" in e["A"] for e in ped)
 
-    # stop-sign chain has a planning layer
+    # stop-sign perception says the sign is uncleared; the planning for it
+    # lives in the ego chain (reference :1108-1228)
     ss = rec["QA"]["stopsign"]
-    assert any(e["qa_type"] == "planning" and "complete stop" in e["A"]
-               for e in ss)
-
-    # roadlayout uses the lane counts
-    rl = " ".join(e["A"] for e in rec["QA"]["roadlayout"])
-    assert "2 lanes in the same direction" in rl
-    assert "1 lane in the opposite direction" in rl
-
-    # ego chain: braking reason names the limiting object's tag
+    assert any("affected by a stop sign" in e["A"] for e in ss)
     ego = rec["QA"]["ego"]
+    ss_act = [e for e in ego if "based on the stop sign" in e["Q"]][0]
+    assert "stop" in ss_act["A"]
+
+    # roadlayout uses the lane counts (number_to_word per reference)
+    rl = " ".join(e["A"] for e in rec["QA"]["roadlayout"])
+    assert "two lanes in the same direction" in rl
+    assert "one lane in the opposite direction" in rl
+
+    # ego chain: braking reason names the limiting vehicle and its tag
     brake_q = [e for e in ego if "brake" in e["Q"]][0]
-    assert brake_q["A"].startswith("Yes.")
+    assert "ambulance" in brake_q["A"]
     assert brake_q["object_tags"] and brake_q["object_tags"][0] in infos
 
     # >= 25 distinct questions per frame at DriveLM scale
@@ -471,17 +473,17 @@ def test_vqa_lane_and_marking_questions():
     boxes = [{"id": 1, "class": "walker", "position": [6.0, -2.0, 0.0],
               "speed": 1.0, "num_points": 20, "extent": [0.4, 0.4, 1.0]},
              {"id": 2, "class": "car", "position": [10.0, 3.0, 0.0],
-              "speed": 4.0, "yaw": 1.2, "num_points": 30,
+              "speed": 4.0, "yaw": 1.2, "steer": -0.2, "num_points": 30,
               "extent": [2.2, 1.0, 0.8]}]
     cats = build_graph_qa(current, boxes)
     road_q = " ".join(e["Q"] for e in cats["roadlayout"])
     road_a = " ".join(e["A"] for e in cats["roadlayout"])
     assert "On which lane is the ego vehicle" in road_q
-    assert "lane 1 of 2" in road_a
+    assert "The ego vehicle is on lane 1." in road_a
     assert "lane marking is on the left side" in road_q
-    assert "broken lane marking" in road_a
+    assert "broken lane" in road_a
     assert "allowed to change lanes" in road_q
-    assert "only allowed to change lanes to the left" in road_a
+    assert "allowed to change lanes to the left." in road_a
     assert "From which side are other vehicles allowed" in road_q
     ped = cats["pedestrian"]
     assert ped[0]["Q"] == "How many pedestrians are there?"
@@ -489,4 +491,4 @@ def test_vqa_lane_and_marking_questions():
     veh_q = " ".join(e["Q"] for e in cats["dynamic_vehicles"])
     veh_a = " ".join(e["A"] for e in cats["dynamic_vehicles"])
     assert "going?" in veh_q
-    assert "turning to its left" in veh_a
+    assert "turning left" in veh_a
