@@ -577,7 +577,22 @@ def _flash_gqa_bwd(causal, scale, block_q, block_k, res, dout):
     # layout encodes it); kv block sized so [G*bq, bk] fp32 tiles x3 stay
     # within scoped VMEM
     bk_limit = max((24 * 1024 * 1024) // (12 * G * block_q), 128)
-    block_k = S if (S <= 1280 and S <= bk_limit) else min(512, bk_limit)
+    # v5e scoped VMEM is 16 MiB and XLA stages the (batch-sized) k/v custom
+    # -call operands there [S(1) placement]: the single-S kv block only fits
+    # while score tiles + staged operands stay under the (empirical, batch 6
+    # @ G=7/bq=128/S=1024 compiles at ~17.8M-estimated) ceiling; above it the
+    # kv split halves the f32/bf16 score-tile stack. Override for sweeps:
+    # SIMLINGO_ATTN_BWD_BLOCK_K.
+    stack_est = 16 * G * block_q * S          # s/p/dp f32 + pc/ds bf16 tiles
+    staged_est = 4 * B * HK * S * D           # k+v bf16 operands in VMEM
+    env_bk = os.environ.get("SIMLINGO_ATTN_BWD_BLOCK_K")
+    if env_bk:
+        block_k = min(int(env_bk), S)
+    elif (S <= 1280 and S <= bk_limit
+          and stack_est + staged_est < 18 * 2 ** 20):
+        block_k = S
+    else:
+        block_k = min(512, bk_limit)
     block_k = max(128, block_k // 128 * 128)
     while S % block_k != 0:
         block_k //= 2
