@@ -30,6 +30,14 @@ def latency_bench():
     predict_language=False path) and CoT (commentary generation per frame --
     the reference's production eval setting, but with a KV cache instead of
     the reference's quadratic re-forward).
+
+    CoT token budget: the PRODUCTION distribution, not a convenience cap.
+    Sampling the in-repo commentary generator across its decision space
+    (2000 frames: speeds/commands/hazards/lead objects) gives
+    p50=77 / p95=124 / max=149 tokens under the SimLingo tokenizer -- the
+    decode has EOS early-exit, so a fixed-budget run of L steps equals the
+    latency of an L-token commentary. Both budgets are measured
+    (BENCH_MAX_NEW_TOKENS / BENCH_COT_P95_TOKENS override).
     """
     os.environ.setdefault("SIMLINGO_ATTN_IMPL", "pallas")  # fwd-only paths
 
@@ -50,7 +58,8 @@ def latency_bench():
         # w8a16 LLM decode weights -- halves the HBM-bound per-token cost
         from simlingo_tpu.core.quantize import quantize_llm
         params = dict(params, llm=quantize_llm(params["llm"]))
-    max_new = int(os.environ.get("BENCH_MAX_NEW_TOKENS", "32"))
+    max_new = int(os.environ.get("BENCH_MAX_NEW_TOKENS", "77"))    # p50
+    max_new_p95 = int(os.environ.get("BENCH_COT_P95_TOKENS", "124"))
     ex = synthetic_example(cfg, batch=1, seq_len=640, num_patches=2,
                            seed=0, left_pad=True)
     di = ex.driving_input
@@ -58,9 +67,13 @@ def latency_bench():
     drive = jax.jit(lambda p, d: runner.drive_only(p, d, cfg,
                                                    compute_dtype=jnp.bfloat16))
     gen_cfg = runner.GenerateConfig(max_new_tokens=max_new,
-                                    eos_token_id=-1)  # never stops: worst case
+                                    eos_token_id=-1)  # runs the full budget
     gen = jax.jit(lambda p, d: runner.generate_and_drive(
         p, d, cfg, gen_cfg, compute_dtype=jnp.bfloat16))
+    gen_cfg95 = runner.GenerateConfig(max_new_tokens=max_new_p95,
+                                      eos_token_id=-1)
+    gen95 = jax.jit(lambda p, d: runner.generate_and_drive(
+        p, d, cfg, gen_cfg95, compute_dtype=jnp.bfloat16))
 
     def timed(fn, n=20):
         out = fn(params, di)
@@ -89,6 +102,7 @@ def latency_bench():
 
     p50_action = timed(drive)
     p50_cot = timed(gen, n=8)
+    p50_cot95 = timed(gen95, n=6)
     print(json.dumps({
         "metric": "p50_action_latency_ms",
         "value": round(max(p50_action - rtt, 0.0), 2),
@@ -96,6 +110,8 @@ def latency_bench():
         "vs_baseline": round(50.0 / max(p50_action - rtt, 1e-9), 3),
         "cot_p50_ms": round(max(p50_cot - rtt, 0.0), 2),
         "cot_tokens": max_new,
+        "cot_p95_ms": round(max(p50_cot95 - rtt, 0.0), 2),
+        "cot_p95_tokens": max_new_p95,
         "raw_p50_action_ms": round(p50_action, 2),
         "raw_cot_p50_ms": round(p50_cot, 2),
         "tunnel_rtt_ms": round(rtt, 2),
@@ -131,6 +147,12 @@ def main():
     elif remat == "llm":
         cfg = dataclasses.replace(cfg, remat_vision=False)
     params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
+    if os.environ.get("BENCH_INT8_BASE", "0") == "1":
+        # w8a16 frozen LLM base in the TRAINING forward (VERDICT r2 lever):
+        # the base takes no grads (LoRA-only), so only dx flows through it --
+        # int8_matmul's activation-only VJP covers that.
+        from simlingo_tpu.core.quantize import quantize_llm
+        params = dict(params, llm=quantize_llm(params["llm"]))
     mask = ts.trainable_mask(params, ts.production_trainable)
     opt = ts.make_masked_optimizer(
         ts.OptimizerConfig(lr=3e-5, total_steps=1000, grad_clip=0.3), mask)
@@ -232,7 +254,13 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE") == "latency":
+    mode = os.environ.get("BENCH_MODE", "all")
+    if mode == "latency":
         latency_bench()
+    elif mode == "train":
+        main()
     else:
+        # one driver-captured run prints BOTH metrics; the headline
+        # throughput line stays LAST (the driver parses the tail)
+        latency_bench()
         main()

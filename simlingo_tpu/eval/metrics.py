@@ -3,11 +3,13 @@
 Counterpart of reference `eval_metrics.py` (evaluation_suit): exact-match
 accuracy + NLG metrics. The reference shells out to the `language_evaluation`
 CocoEvaluator (BLEU/ROUGE-L/CIDEr/METEOR/SPICE) and a GPT-4o judge; here
-BLEU-1..4, ROUGE-L, CIDEr and METEOR are implemented directly in
+BLEU-1..4, ROUGE-L, CIDEr, METEOR and SPICE are implemented directly in
 python/numpy. METEOR uses the exact + Porter-stem matcher stages (the WordNet
-synonymy stage requires the WordNet corpus and is skipped); SPICE requires
-the Java corenlp scene-graph parser and stays out of scope. `gpt_judge` is
-available when an OpenAI-compatible endpoint is configured.
+synonymy stage requires the WordNet corpus and is skipped); `spice()` is a
+lexicon-driven scene-graph F1 analogue of the Java corenlp SPICE (same
+tuple-F1 scoring over (object, attribute, relation) triples, rule-based
+parse instead of a dependency parser). `gpt_judge` is available when an
+OpenAI-compatible endpoint is configured.
 """
 
 from __future__ import annotations

@@ -55,13 +55,54 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, *, transpose_rhs: bool):
     o_ref[...] = (acc * s_ref[...][None, :]).astype(o_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def int8_matmul(x: jnp.ndarray,            # [..., K] bf16/f32
                 w_q: jnp.ndarray,          # [K, N] int8 (or [N, K] if transpose_rhs)
                 scale: jnp.ndarray,        # [N] f32
                 transpose_rhs: bool = False,
                 block_n: int = 1024,
                 out_dtype=None) -> jnp.ndarray:
-    """y[..., n] = sum_k x[..., k] * w_q[k, n] * scale[n]."""
+    """y[..., n] = sum_k x[..., k] * w_q[k, n] * scale[n].
+
+    Differentiable in the ACTIVATION only (dx = (g * scale) @ W^T through the
+    same int8-width weight reads); w_q/scale are frozen serving/base weights
+    and get zero cotangents -- this is what lets the w8a16 base LLM sit in
+    the *training* forward (LoRA training differentiates through the frozen
+    base for dx but never updates it).
+    """
+    return _int8_matmul_impl(x, w_q, scale, transpose_rhs, block_n, out_dtype)
+
+
+def _int8_matmul_fwd(x, w_q, scale, transpose_rhs, block_n, out_dtype):
+    y = _int8_matmul_impl(x, w_q, scale, transpose_rhs, block_n, out_dtype)
+    return y, (w_q, scale)
+
+
+def _int8_matmul_bwd(transpose_rhs, block_n, out_dtype, res, g):
+    w_q, scale = res
+    K = w_q.shape[1] if transpose_rhs else w_q.shape[0]
+    # dx[.., k] = sum_n g[.., n] * scale[n] * w_q[k, n]: the scaled cotangent
+    # through the transposed int8 weight -- same kernel, ones-scale output
+    gs = (g.astype(jnp.float32) * scale).astype(g.dtype)
+    ones_k = jnp.ones((K,), jnp.float32)
+    # barrier the int8 weights so the bwd's int8->bf16 convert is a DIFFERENT
+    # expression from the fwd's: without it XLA CSEs the two converts into
+    # one bf16 copy that stays live from forward to backward -- every frozen
+    # layer's weights held at bf16 width across the whole step (~1 GB extra,
+    # OOMs batch 6). With the barrier each convert has a single consumer dot
+    # and fuses into its operand load: weights cross HBM at int8 width twice.
+    dx = _int8_matmul_impl(gs, jax.lax.optimization_barrier(w_q), ones_k,
+                           not transpose_rhs, block_n, g.dtype)
+    dw = np.zeros(w_q.shape, jax.dtypes.float0)      # int8 primal: float0
+    dscale = jnp.zeros_like(scale)
+    return dx, dw, dscale
+
+
+int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
+
+
+def _int8_matmul_impl(x, w_q, scale, transpose_rhs=False, block_n=1024,
+                      out_dtype=None) -> jnp.ndarray:
     orig_shape = x.shape
     K = orig_shape[-1]
     N = w_q.shape[0] if transpose_rhs else w_q.shape[1]
@@ -69,13 +110,20 @@ def int8_matmul(x: jnp.ndarray,            # [..., K] bf16/f32
     x2 = x.reshape(M, K)
     out_dtype = out_dtype or x.dtype
 
-    if M <= 64:
-        # Decode-sized M: a plain XLA dot with the int8->bf16 convert behind
-        # an optimization barrier beats the pallas kernel (fewer custom-call
-        # dispatches; the barrier stops XLA hoisting the convert out of the
-        # decode while_loop, so weights still cross HBM at int8 width --
-        # measured ~0.2 ms/token faster than the kernel at 24 layers).
-        wb = jax.lax.optimization_barrier(w_q).astype(x.dtype)
+    if M <= 64 or M > 2048 or M * K * x2.dtype.itemsize > 8 * 2 ** 20:
+        # Decode-sized M (<= 64): a plain XLA dot with the int8->bf16 convert
+        # behind an optimization barrier beats the pallas kernel (fewer
+        # custom-call dispatches; the barrier stops XLA hoisting the convert
+        # out of the decode while_loop, so weights still cross HBM at int8
+        # width -- measured ~0.2 ms/token faster than the kernel at 24
+        # layers). Training-sized M (> 2048 rows or > 8 MiB activations):
+        # the decode kernel holds the full [M, K] + [M, block_n] tiles in
+        # VMEM, which does not fit; the XLA dot is the right program -- and
+        # WITHOUT the barrier, so the convert fuses into the dot operand
+        # instead of materializing a bf16 weight copy per layer (with the
+        # barrier the training step carries ~1 GB of converted copies).
+        wb = (jax.lax.optimization_barrier(w_q) if M <= 64 else w_q
+              ).astype(x.dtype)
         dims = ((((1,), (1,)) if transpose_rhs else ((1,), (0,))), ((), ()))
         acc = jax.lax.dot_general(x2, wb, dims,
                                   preferred_element_type=jnp.float32)

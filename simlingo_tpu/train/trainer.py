@@ -59,6 +59,12 @@ class JsonlLogger:
         self.f.write(json.dumps({"step": step, **metrics}) + "\n")
         self.f.flush()
 
+    def log_image(self, name: str, step: int, image) -> None:
+        # images live on disk (the visualise callback saves PNGs); record
+        # the event so runs are greppable for when visuals were produced
+        self.f.write(json.dumps({"step": step, "image": name}) + "\n")
+        self.f.flush()
+
 
 class WandbLogger:
     """Optional wandb sink (reference train.py:148-157); activated when the
@@ -73,6 +79,12 @@ class WandbLogger:
     def log(self, step: int, metrics: Dict[str, float]) -> None:
         self.run.log(metrics, step=step)
 
+    def log_image(self, name: str, step: int, image) -> None:
+        """Image upload (reference VisualiseCallback logs via
+        `pl_module.logger.log_image`)."""
+        import wandb
+        self.run.log({name: wandb.Image(image)}, step=step)
+
 
 class MultiLogger:
     def __init__(self, loggers):
@@ -81,6 +93,11 @@ class MultiLogger:
     def log(self, step, metrics):
         for lg in self.loggers:
             lg.log(step, metrics)
+
+    def log_image(self, name, step, image):
+        for lg in self.loggers:
+            if hasattr(lg, "log_image"):
+                lg.log_image(name, step, image)
 
 
 def make_logger(run_dir: str, name: str, config: Dict[str, Any]):
@@ -265,7 +282,9 @@ def train(cfg: TrainConfig,
 
     from simlingo_tpu.train.visualise import VisualiseCallback
     viz = VisualiseCallback(cfg.visualise_every_n_steps,
-                            os.path.join(run_dir, "viz"))
+                            os.path.join(run_dir, "viz"),
+                            logger=logger,
+                            tokenizer=None if make_synthetic else tok)
     eval_step = ts.make_eval_step(model_cfg, compute_dtype=compute_dtype) \
         if cfg.visualise_every_n_steps > 0 else None
 
