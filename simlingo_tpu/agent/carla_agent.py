@@ -30,6 +30,8 @@ try:
     class SimLingoTPUAgent(autonomous_agent.AutonomousAgent):
         """Leaderboard wrapper around LingoAgent."""
 
+        logger = None          # ScenarioLogger; set in setup() when enabled
+
         def setup(self, path_to_conf_file, route_index=None):
             from simlingo_tpu.agent.agent import LingoAgent
             from simlingo_tpu.agent.config import AgentConfig
@@ -51,6 +53,19 @@ try:
             self.planner = CarlaRoutePlanner(min_distance=7.5,
                                              max_distance=50.0)
             self.initialized = False
+            # per-route state recording for post-hoc infraction replay
+            # (reference wires ScenarioLogger into its agents; records are
+            # rendered by scenario_logger.render_replay_frames +
+            # make_infraction_gifs)
+            self.logger = None
+            record_dir = os.environ.get("SIMLINGO_RECORD_DIR")
+            if record_dir:
+                from simlingo_tpu.agent.scenario_logger import ScenarioLogger
+                idx = str(route_index if route_index is not None else 0)
+                self.logger = ScenarioLogger(
+                    save_path=os.path.join(record_dir, idx),
+                    route_index=idx, log_every_n=int(
+                        os.environ.get("SIMLINGO_RECORD_EVERY_N", "1")))
 
         def sensors(self):
             from simlingo_tpu.agent.config import AgentConfig
@@ -98,11 +113,79 @@ try:
             control.steer = float(out["steer"])
             control.throttle = float(out["throttle"])
             control.brake = float(out["brake"])
+            if self.logger is not None:
+                self._log_tick(fpos, fyaw, fspeed, out)
             return control
+
+        def _log_tick(self, fpos, fyaw, fspeed, out):
+            """Feed one tick of privileged world state to the scenario
+            logger (reference scenario_logger.log_step: ego + nearby
+            vehicles + non-green lights + ego control)."""
+            ego = {"position": list(map(float, fpos[:2])),
+                   "yaw": float(fyaw), "velocity": [float(fspeed), 0.0]}
+            actors, lights = [], []
+            try:
+                if self.logger.route is None:
+                    self.logger.set_route(np.asarray(
+                        [[t.location.x, t.location.y]
+                         for t, _ in self._global_plan_world_coord]))
+            except Exception:
+                pass
+            try:
+                # privileged world state (evaluation runs have it through
+                # the scenario runner); fall back to the ego-only record
+                import carla
+                from srunner.scenariomanager.carla_data_provider import (
+                    CarlaDataProvider)
+                world = CarlaDataProvider.get_world()
+                ego_actor = CarlaDataProvider.get_hero_actor()
+
+                def state(a):
+                    tr, vel = a.get_transform(), a.get_velocity()
+                    ext = a.bounding_box.extent
+                    return {"position": [tr.location.x, tr.location.y,
+                                         tr.location.z],
+                            "yaw": math.radians(tr.rotation.yaw),
+                            "velocity": [vel.x, vel.y],
+                            "extent": (ext.x, ext.y), "id": a.id,
+                            "type": a.type_id,
+                            "color": a.attributes.get("color", "0,0,0"),
+                            "pitch": math.radians(tr.rotation.pitch),
+                            "roll": math.radians(tr.rotation.roll)}
+
+                if ego_actor is not None:
+                    ego = state(ego_actor)
+                actors = [state(a)
+                          for a in world.get_actors().filter("*vehicle*")
+                          if ego_actor is None or a.id != ego_actor.id]
+                for tl in world.get_actors().filter("*traffic_light*"):
+                    st = {carla.TrafficLightState.Red: 0,
+                          carla.TrafficLightState.Yellow: 1}.get(tl.state)
+                    if st is None:
+                        continue
+                    pos = tl.get_transform().transform(
+                        tl.trigger_volume.location)
+                    lights.append({
+                        "position": [pos.x, pos.y],
+                        "yaw": math.radians(tl.get_transform().rotation.yaw),
+                        "state": st,
+                        "extent": (tl.trigger_volume.extent.x,
+                                   tl.trigger_volume.extent.y)})
+            except Exception:
+                pass  # privileged access unavailable: ego-only record
+            try:
+                self.logger.log(ego, actors=actors, lights=lights,
+                                control={"steer": float(out["steer"]),
+                                         "throttle": float(out["throttle"]),
+                                         "brake": float(out["brake"])})
+            except Exception:
+                pass  # recording must never break the evaluation run
 
         def destroy(self, results=None):
             stats = self.agent.latency_stats()
             print(f"simlingo_tpu agent latency: {stats}")
+            if self.logger is not None:
+                self.logger.dump()
 
 except ImportError:  # outside a CARLA environment
     SimLingoTPUAgent = None

@@ -153,10 +153,23 @@ def test_model_agent_plugin_run_step_offline(carla_env, tmp_path):
     agent.initialized = False
     agent._global_plan_world_coord = _plan()
 
+    # scenario recording rides along (reference wires ScenarioLogger into
+    # its agents); the stub env has no srunner -> ego-only records
+    from simlingo_tpu.agent.scenario_logger import ScenarioLogger
+    agent.logger = ScenarioLogger(save_path=str(tmp_path / "rec"),
+                                  route_index="0")
+
     c = agent.run_step(_input_data(x=0.5, speed=4.0, with_lidar=False),
                        timestamp=0.0)
     assert np.isfinite([c.steer, c.throttle, c.brake]).all()
     assert -1.0 <= c.steer <= 1.0
+    agent.destroy()
+    import gzip as _gzip
+    import json as _json
+    with _gzip.open(tmp_path / "rec" / "records.json.gz", "rt") as f:
+        rec = _json.load(f)
+    assert len(rec["states"]) == 1
+    assert rec["ego_actions"][0]["steer"] == [[[float(c.steer)]]]
 
     # GPS->CARLA conversion is the planner's projection inverse
     pos = agent.planner.convert_gps_to_carla(
