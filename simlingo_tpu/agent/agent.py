@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -189,10 +189,12 @@ class LingoAgent:
             out = self._drive_only(self.params, di)
         route = np.asarray(out.route[0], np.float64)
         speed_wps = np.asarray(out.speed_wps[0], np.float64)
+        language_tokens: List[int] = []
         if self.cfg.use_cot:
             n = int(out.language_lengths[0])
-            self.last_language = self.tok.decode(
-                np.asarray(out.language_tokens[0][:n]))
+            language_tokens = [int(t) for t in
+                               np.asarray(out.language_tokens[0][:n])]
+            self.last_language = self.tok.decode(language_tokens)
 
         steer, throttle, brake = self.controller.control_pid(
             route, float(frame.speed), speed_wps)
@@ -225,6 +227,7 @@ class LingoAgent:
             "steer": steer, "throttle": throttle, "brake": brake,
             "route": route, "speed_wps": speed_wps,
             "language": self.last_language,
+            "language_tokens": language_tokens,
             "latency_s": latency,
         }
 

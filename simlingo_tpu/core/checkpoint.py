@@ -101,12 +101,22 @@ def load_hf_checkpoint(path: str, cfg, lora_merge: bool = True,
     Handles both a raw InternVL2-1B checkpoint and a trained SimLingo
     checkpoint (DrivingModel state dict with vision_model./language_model./
     adaptors./wp_encoder. prefixes and peft-wrapped LLM).
+
+    lora_merge=False keeps a peft-trained checkpoint's adapters UNMERGED:
+    the returned tree carries `params["lora"]` in the
+    qwen2.init_lora_params layout (for continued LoRA training from a
+    trained checkpoint); the LLM base holds the raw base_layer weights.
     """
     from simlingo_tpu.core import hf_convert as C
 
     sd = _load_torch_state_dict(path)
-    if lora_merge and any(".lora_A." in k for k in sd):
-        sd = C.merge_lora_inplace(sd, alpha=lora_alpha, r=lora_r)
+    lora_tree = None
+    if any(".lora_A." in k for k in sd):
+        if lora_merge:
+            sd = C.merge_lora_inplace(sd, alpha=lora_alpha, r=lora_r)
+        else:
+            lora_tree = C.lora_tree_from_torch(sd, cfg.llm.num_layers)
+            sd = C.strip_peft_inplace(sd)
 
     keys = set(sd.keys())
 
@@ -137,6 +147,8 @@ def load_hf_checkpoint(path: str, cfg, lora_merge: bool = True,
     else:
         raise ValueError(f"unrecognized checkpoint layout: "
                          f"{sorted(list(keys))[:5]} ...")
+    if lora_tree is not None and lora_tree["layers"]:
+        params["lora"] = lora_tree
     return params
 
 

@@ -190,6 +190,56 @@ def projector_from_torch_native(sd: Mapping[str, Any],
 # LoRA handling (peft state dicts)
 # ---------------------------------------------------------------------------
 
+_PEFT_PROJ_NAMES = {"q_proj": "q", "k_proj": "k", "v_proj": "v",
+                    "o_proj": "o", "gate_proj": "gate", "up_proj": "up",
+                    "down_proj": "down"}
+
+
+def lora_tree_from_torch(sd: Mapping[str, Any], num_layers: int
+                         ) -> Dict[str, Any]:
+    """Extract peft LoRA adapters UNMERGED into the qwen2.init_lora_params
+    layout: layers/{i}/{q,k,v,o,gate,up,down}/{a [din, r], b [r, dout]}.
+
+    peft stores A [r, in] / B [out, r]; ours compute x @ a @ b, so both are
+    transposed. Missing targets (non-all-linear configs) are simply absent
+    from the returned tree."""
+    layers: Dict[str, Dict[str, Any]] = {}
+    for k in sd:
+        if ".lora_A." not in k:
+            continue
+        mod = k.split(".lora_A.")[0]
+        parts = mod.split(".")
+        proj = _PEFT_PROJ_NAMES.get(parts[-1])
+        try:
+            li = parts[parts.index("layers") + 1]
+        except (ValueError, IndexError):
+            continue
+        if proj is None or int(li) >= num_layers:
+            continue
+        b_key = k.replace(".lora_A.", ".lora_B.")
+        if b_key not in sd:
+            continue
+        layers.setdefault(li, {})[proj] = {
+            "a": _t(sd[k]).T, "b": _t(sd[b_key]).T}
+    return {"layers": layers}
+
+
+def strip_peft_inplace(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Rename peft-wrapped keys to clean names WITHOUT merging LoRA
+    (base_layer.weight -> weight; lora_A/B keys dropped -- extract them
+    first via lora_tree_from_torch)."""
+    out: Dict[str, Any] = {}
+    for k, v in sd.items():
+        if ".lora_A." in k or ".lora_B." in k:
+            continue
+        nk = (k.replace(".base_layer.weight", ".weight")
+               .replace(".base_layer.bias", ".bias")
+               .replace("base_model.model.", "")
+               .replace(".modules_to_save.default", ""))
+        out[nk] = v
+    return out
+
+
 def merge_lora_inplace(sd: Dict[str, Any], alpha: float, r: int) -> Dict[str, Any]:
     """Merge peft LoRA weights into their base layers and strip peft prefixes.
 

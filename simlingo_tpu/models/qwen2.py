@@ -348,11 +348,11 @@ def forward(
         lp = params["layers"][str(i)]
         lo = None
         if lora_params is not None:
-            lo = {"attn": {}, "mlp": {}}
-            for t in ("q", "k", "v", "o"):
-                lo["attn"][t] = lora_params["layers"][str(i)][t]
-            for t in ("gate", "up", "down"):
-                lo["mlp"][t] = lora_params["layers"][str(i)][t]
+            # .get: converted peft checkpoints may adapt a subset of the
+            # all-linear targets; absent adapters are identity
+            ll = lora_params["layers"].get(str(i), {})
+            lo = {"attn": {t: ll.get(t) for t in ("q", "k", "v", "o")},
+                  "mlp": {t: ll.get(t) for t in ("gate", "up", "down")}}
         layer_cache = cache["layers"][str(i)] if cache is not None else None
         fn = jax.checkpoint(layer_fn, static_argnums=(4,)) if (remat and cache is None) else layer_fn
         x, upd = fn(x, lp, lo, layer_cache, i)

@@ -111,14 +111,12 @@ def test_load_raw_internvl2_checkpoint(tmp_path):
     assert np.isfinite(float(out.loss))
 
 
-def test_trained_simlingo_layout_with_lora_merge(tmp_path):
-    """DrivingModel layout: vision_model.model.* + peft-wrapped LLM +
-    adaptors + wp_encoder, with LoRA A/B to merge."""
-    cfg = _tiny_cfg()
+def _make_trained_sd(cfg, lora_b_zero=True, lora_r=2):
+    """DrivingModel layout: vision_model.model.* + peft-wrapped LLM
+    (base_layer + lora_A/B on q_proj) + adaptors + wp_encoder."""
     t = torch.randn
     sd = {}
     sd.update(_make_remote_code_state_dict(cfg, prefix="vision_model.model."))
-    # peft-wrapped LLM: base_layer + lora_A/B on q_proj of layer 0
     llm = _make_llm_state_dict(
         cfg, prefix="language_model.model.base_model.model.model.")
     peft_sd = {}
@@ -126,9 +124,11 @@ def test_trained_simlingo_layout_with_lora_merge(tmp_path):
         if "self_attn.q_proj.weight" in k:
             mod = k[: -len(".weight")]
             peft_sd[mod + ".base_layer.weight"] = v
-            peft_sd[mod + ".lora_A.default.weight"] = t(2, cfg.llm.hidden_size)
-            peft_sd[mod + ".lora_B.default.weight"] = torch.zeros(
-                cfg.llm.num_heads * cfg.llm.head_dim, 2)
+            peft_sd[mod + ".lora_A.default.weight"] = t(
+                lora_r, cfg.llm.hidden_size)
+            b = torch.zeros(cfg.llm.num_heads * cfg.llm.head_dim, lora_r)
+            peft_sd[mod + ".lora_B.default.weight"] = b if lora_b_zero \
+                else t(cfg.llm.num_heads * cfg.llm.head_dim, lora_r)
         else:
             peft_sd[k] = v
     sd.update(peft_sd)
@@ -146,6 +146,13 @@ def test_trained_simlingo_layout_with_lora_merge(tmp_path):
     for i, (din, dout) in enumerate([(2, 256), (256, 512), (512, H)]):
         sd[f"wp_encoder.mlp.{i*2}.weight"] = t(dout, din)
         sd[f"wp_encoder.mlp.{i*2}.bias"] = t(dout)
+    return sd, llm
+
+
+def test_trained_simlingo_layout_with_lora_merge(tmp_path):
+    cfg = _tiny_cfg()
+    sd, llm = _make_trained_sd(cfg, lora_b_zero=True)
+    H = cfg.llm.hidden_size
 
     path = tmp_path / "pytorch_model.pt"
     torch.save(sd, str(path))
@@ -244,3 +251,88 @@ def test_full_1b_shapes_convert_and_forward(tmp_path):
     out, _ = simlingo.forward_loss(params, ex, cfg,
                                    compute_dtype=jnp.bfloat16)
     assert np.isfinite(float(out.loss))
+
+
+def test_unmerged_lora_conversion_matches_merged(tmp_path):
+    """VERDICT r2 #7: LoRA-carried (unmerged) conversion. lora_merge=False
+    returns the adapters in the qwen2 layout; running them LIVE gives the
+    same logits as the merged conversion."""
+    import dataclasses
+
+    from simlingo_tpu.models import qwen2
+
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, llm=dataclasses.replace(cfg.llm, lora_r=2, lora_alpha=4))
+    sd, _ = _make_trained_sd(cfg, lora_b_zero=False)   # nonzero B: real delta
+    path = tmp_path / "pytorch_model.pt"
+    torch.save(sd, str(path))
+
+    merged = ckpt.load_hf_checkpoint(str(path), cfg, lora_merge=True,
+                                     lora_alpha=4, lora_r=2)
+    carried = ckpt.load_hf_checkpoint(str(path), cfg, lora_merge=False)
+    assert "lora" in carried
+    lt = carried["lora"]["layers"]
+    assert set(lt.keys()) == {"0", "1"} and set(lt["0"]) == {"q"}
+    assert lt["0"]["q"]["a"].shape == (cfg.llm.hidden_size, 2)
+    assert lt["0"]["q"]["b"].shape == (2, cfg.llm.num_heads * cfg.llm.head_dim)
+    # unmerged base == raw base (no delta folded in)
+    assert not np.allclose(merged["llm"]["layers"]["0"]["attn"]["q"]["w"],
+                           carried["llm"]["layers"]["0"]["attn"]["q"]["w"])
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 5, cfg.llm.hidden_size),
+                    jnp.float32)
+    pos = jnp.arange(5)[None]
+    merged_p = jax.tree_util.tree_map(jnp.asarray, merged["llm"])
+    carried_p = jax.tree_util.tree_map(jnp.asarray, carried["llm"])
+    lora_p = jax.tree_util.tree_map(jnp.asarray, carried["lora"])
+    h_merged, _ = qwen2.forward(merged_p, x, cfg.llm, pos)
+    h_live, _ = qwen2.forward(carried_p, x, cfg.llm, pos, lora_params=lora_p)
+    np.testing.assert_allclose(np.asarray(h_merged), np.asarray(h_live),
+                               atol=1e-4)
+
+
+def test_parity_harness_roundtrip(tmp_path):
+    """VERDICT r2 #7: the one-command checkpoint parity harness runs the
+    full agent path against a synthesized snapshot dir, its trace
+    roundtrips (save -> diff == no errors), and tampering is detected."""
+    import copy
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "checkpoint_parity",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "checkpoint_parity.py"))
+    cp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cp)
+
+    cfg = _tiny_cfg()
+    sd, _ = _make_trained_sd(cfg, lora_b_zero=True)
+    snap = tmp_path / "snapshot"
+    snap.mkdir()
+    torch.save(sd, str(snap / "pytorch_model.pt"))
+
+    got = cp.run_one_frame(str(snap), keep_lora=False, max_new_tokens=6,
+                           cfg=cfg, max_prompt_len=128)
+    assert got["tokenizer"] == "fallback"          # no tokenizer files
+    assert len(got["language_tokens"]) <= 6
+    assert np.asarray(got["route"]).shape == (20, 2)
+
+    # roundtrip through json (what --save-trace / --trace do)
+    ref = json.loads(json.dumps(got))
+    assert cp.diff_traces(got, ref, atol=1e-3) == []
+
+    # determinism: a second identical run reproduces the trace
+    again = cp.run_one_frame(str(snap), keep_lora=False, max_new_tokens=6,
+                             cfg=cfg, max_prompt_len=128)
+    assert cp.diff_traces(again, ref, atol=1e-3) == []
+
+    # tampering is caught
+    bad = copy.deepcopy(ref)
+    bad["language_tokens"] = list(bad["language_tokens"]) + [1]
+    bad["route"][0][0] += 1.0
+    errs = cp.diff_traces(got, bad, atol=1e-3)
+    assert any("tokens" in e for e in errs)
+    assert any("route" in e for e in errs)
