@@ -138,6 +138,190 @@ class BEVRenderer:
         return img.astype(np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# ChauffeurNet-style renderer (reference team_code/birds_eye_view/
+# chauffeurnet.py ObsManager): semantic CLASS map + per-actor-type history
+# masks + tinted RGB debug rendering. Same class table as the reference
+# (chauffeurnet.py:281-290):
+#   0 unlabeled, 1 road, 2 sidewalk, 3 lane marking, 4 broken lane marking,
+#   5 stop sign, 6 green light, 7 yellow light, 8 red light, 9 vehicle,
+#   10 walker
+# Inputs are ego-frame geometry dicts (the CARLA plugin converts world ->
+# ego; offline tests synthesize them), so the renderer itself is
+# simulator-independent -- the reference warps a prerendered world-frame
+# HD map instead, which needs the CARLA map server.
+# ---------------------------------------------------------------------------
+
+SEMANTIC_CLASSES = ("unlabeled", "road", "sidewalk", "lane_marking",
+                    "lane_marking_broken", "stop_sign", "tl_green",
+                    "tl_yellow", "tl_red", "vehicle", "walker")
+
+_RENDER_COLORS = {
+    "road": (46, 52, 54),            # COLOR_ALUMINIUM_5
+    "sidewalk": (128, 128, 128),     # COLOR_GREY
+    "lane_marking": (255, 0, 255),   # COLOR_MAGENTA
+    "lane_marking_broken": (255, 140, 255),
+    "stop_sign": (160, 160, 0),      # COLOR_YELLOW_2
+    "tl_green": (0, 255, 0),
+    "tl_yellow": (255, 255, 0),
+    "tl_red": (255, 0, 0),
+    "vehicle": (0, 0, 255),
+    "walker": (0, 255, 255),
+    "ego": (255, 255, 255),
+}
+
+
+def tint(color: Tuple[int, int, int], factor: float) -> Tuple[int, int, int]:
+    """Reference chauffeurnet.tint: fade toward white for older history."""
+    return tuple(min(int(c + (255 - c) * factor), 255) for c in color)
+
+
+class ChauffeurNetRenderer:
+    """History-aware multi-channel BEV (reference ObsManager).
+
+    history_idx indexes the tick queue like the reference's (e.g.
+    [-16, -11, -6, -1]: 4 snapshots ending at the current tick). Masks
+    output is [3 + 3*len(history_idx), W, W]: road/sidewalk/lane-all
+    static channels + per-history vehicle/walker/light-or-stop channels
+    (the reference's _masks_channels layout).
+    """
+
+    def __init__(self, width_px: int = 192, pixels_per_meter: float = 5.0,
+                 pixels_ev_to_bottom: int = 40,
+                 history_idx: Sequence[int] = (-16, -11, -6, -1),
+                 scale_bbox: bool = True,
+                 ego_extent: Tuple[float, float] = (4.9, 2.1)):
+        from collections import deque
+        self.width = width_px
+        self.ppm = pixels_per_meter
+        self.ev_bottom = pixels_ev_to_bottom
+        self.history_idx = list(history_idx)
+        self.scale_bbox = scale_bbox
+        self.ego_extent = ego_extent
+        maxlen = max(max(history_idx) + 1, -min(history_idx))
+        self._history = deque(maxlen=maxlen)
+        self._raster = BEVRenderer(
+            size_px=width_px, meters_range=width_px / pixels_per_meter,
+            ego_forward_offset=pixels_ev_to_bottom / width_px)
+
+    # -- mask rasterizers (ego frame: x fwd, y right) -----------------------
+    def _boxes_mask(self, actors: Sequence[Dict], min_extent: float,
+                    scale: float) -> np.ndarray:
+        m = np.zeros((self.width, self.width, 1), np.float32)
+        for a in actors:
+            ext = np.asarray(a.get("extent", (2.0, 1.0)), float) * scale
+            # reference scales bboxes and floors tiny ones at 0.8 m
+            ext = np.maximum(ext, min_extent)
+            self._raster._draw_box(m, 0, np.asarray(a["position"][:2]),
+                                   float(a.get("yaw", 0.0)),
+                                   (2 * ext[0], 2 * ext[1]))
+        return m[:, :, 0] > 0
+
+    def _lines_mask(self, lines: Sequence[np.ndarray],
+                    width_m: float = 1.2) -> np.ndarray:
+        m = np.zeros((self.width, self.width, 1), np.float32)
+        for line in lines:
+            self._raster._draw_polyline(m, 0, np.asarray(line), width_m)
+        return m[:, :, 0] > 0
+
+    def _polys_mask(self, polys: Sequence[np.ndarray]) -> np.ndarray:
+        import cv2
+        m = np.zeros((self.width, self.width), np.float32)
+        for poly in polys:
+            px = self._raster.world_to_px(np.asarray(poly))[:, ::-1]
+            cv2.fillPoly(m, [px.astype(np.int32)], 1.0)
+        return m > 0
+
+    # -- main entry ---------------------------------------------------------
+    def observe(self, vehicles: Sequence[Dict] = (),
+                walkers: Sequence[Dict] = (),
+                tl_green: Sequence[np.ndarray] = (),
+                tl_yellow: Sequence[np.ndarray] = (),
+                tl_red: Sequence[np.ndarray] = (),
+                stops: Sequence[Dict] = (),
+                road_polygons: Sequence[np.ndarray] = (),
+                sidewalk_polygons: Sequence[np.ndarray] = (),
+                lane_markings: Sequence[np.ndarray] = (),
+                lane_markings_broken: Sequence[np.ndarray] = (),
+                render_rgb: bool = False) -> Dict[str, np.ndarray]:
+        """One tick -> {'bev_semantic_classes' [W, W] uint8,
+        'masks' [3 + 3*H, W, W] uint8, 'rendered' [W, W, 3] uint8 (opt)}.
+
+        Dynamic actors go through the history queue; traffic lights are
+        stop-line polylines per state (reference get_stopline_vtx)."""
+        veh_scale = 1.0 if self.scale_bbox else 1.0
+        wlk_scale = 2.0 if self.scale_bbox else 1.0
+        min_ext = 0.8 if self.scale_bbox else 0.0
+        self._history.append((
+            self._boxes_mask(vehicles, min_ext, veh_scale),
+            self._boxes_mask(walkers, min_ext, wlk_scale),
+            self._lines_mask(tl_green), self._lines_mask(tl_yellow),
+            self._lines_mask(tl_red),
+            self._boxes_mask(stops, min_ext, 1.0),
+        ))
+
+        road = self._polys_mask(road_polygons)
+        sidewalk = self._polys_mask(sidewalk_polygons)
+        lane_all = self._lines_mask(lane_markings, width_m=0.3)
+        lane_broken = self._lines_mask(lane_markings_broken, width_m=0.3)
+
+        qsize = len(self._history)
+        hist = [self._history[max(i, -qsize)] for i in self.history_idx]
+        veh_h, wlk_h, tlg_h, tly_h, tlr_h, stop_h = zip(*hist)
+
+        # semantic class map from the CURRENT tick (reference c_all)
+        c = np.zeros((self.width, self.width), np.uint8)
+        c[road] = 1
+        c[sidewalk] = 2
+        c[lane_all] = 3
+        c[lane_broken] = 4
+        c[stop_h[-1]] = 5
+        c[tlg_h[-1]] = 6
+        c[tly_h[-1]] = 7
+        c[tlr_h[-1]] = 8
+        c[veh_h[-1]] = 9
+        c[wlk_h[-1]] = 10
+
+        # mask stack: 3 static + 3 per history step (vehicle/walker/
+        # light+stop union) -- reference _masks_channels = 3 + 3*len(h)
+        masks = [road, sidewalk, lane_all | lane_broken]
+        for i in range(len(self.history_idx)):
+            masks.append(veh_h[i])
+            masks.append(wlk_h[i])
+            masks.append(tlg_h[i] | tly_h[i] | tlr_h[i] | stop_h[i])
+        out = {
+            "bev_semantic_classes": c,
+            "masks": (np.stack(masks) * 255).astype(np.uint8),
+        }
+        if render_rgb:
+            img = np.zeros((self.width, self.width, 3), np.uint8)
+            img[road] = _RENDER_COLORS["road"]
+            img[sidewalk] = _RENDER_COLORS["sidewalk"]
+            img[lane_all] = _RENDER_COLORS["lane_marking"]
+            img[lane_broken] = _RENDER_COLORS["lane_marking_broken"]
+            h_len = len(self.history_idx) - 1
+            for i in range(len(self.history_idx)):
+                f = (h_len - i) * 0.2
+                img[stop_h[i]] = tint(_RENDER_COLORS["stop_sign"], f)
+                img[tlg_h[i]] = tint(_RENDER_COLORS["tl_green"], f)
+                img[tly_h[i]] = tint(_RENDER_COLORS["tl_yellow"], f)
+                img[tlr_h[i]] = tint(_RENDER_COLORS["tl_red"], f)
+            for i in range(len(self.history_idx)):
+                f = (h_len - i) * 0.2
+                img[veh_h[i]] = tint(_RENDER_COLORS["vehicle"], f)
+                img[wlk_h[i]] = tint(_RENDER_COLORS["walker"], f)
+            ego = self._boxes_mask(
+                [{"position": (0.0, 0.0), "yaw": 0.0,
+                  "extent": (self.ego_extent[0] / 2,
+                             self.ego_extent[1] / 2)}], 0.0, 1.0)
+            img[ego] = _RENDER_COLORS["ego"]
+            out["rendered"] = img
+        return out
+
+    def clean(self) -> None:
+        self._history.clear()
+
+
 def render_bev(record: Dict, boxes: Sequence[Dict],
                renderer: Optional[BEVRenderer] = None) -> np.ndarray:
     """Convenience: one measurement record + GT boxes -> BEV raster

@@ -608,3 +608,69 @@ def test_vqa_lane_and_marking_questions():
     veh_a = " ".join(e["A"] for e in cats["dynamic_vehicles"])
     assert "going?" in veh_q
     assert "turning left" in veh_a
+
+
+def test_chauffeurnet_renderer_channels():
+    """VERDICT r2 #8: chauffeurnet-depth BEV -- full class table, history
+    channels, tinted rendering -- channel-by-channel on a synthetic scene
+    (reference team_code/birds_eye_view/chauffeurnet.py:281-290)."""
+    import numpy as np
+
+    from simlingo_tpu.labels.bev_renderer import (ChauffeurNetRenderer,
+                                                  SEMANTIC_CLASSES, tint)
+
+    assert len(SEMANTIC_CLASSES) == 11
+    r = ChauffeurNetRenderer(width_px=192, pixels_per_meter=5.0,
+                             history_idx=[-3, -1])
+
+    # a road band, a sidewalk strip, lane markings, a red light stop line,
+    # a vehicle moving forward over ticks, a walker, a stop sign
+    road = [np.array([[-8, -7], [30, -7], [30, 7], [-8, 7]], float)]
+    sidewalk = [np.array([[-8, 7], [30, 7], [30, 10], [-8, 10]], float)]
+    lane_all = [np.array([[-8, 0], [30, 0]], float)]
+    lane_broken = [np.array([[-8, 3.5], [30, 3.5]], float)]
+    red_line = [np.array([[15, -3], [15, 3]], float)]
+    stop = [{"position": (10.0, 5.0), "yaw": 0.0, "extent": (1.0, 1.0)}]
+    out = None
+    for t in range(4):
+        veh = [{"position": (6.0 + 2 * t, -3.0), "yaw": 0.0,
+                "extent": (2.4, 1.1)}]
+        wlk = [{"position": (12.0, 4.0), "yaw": 0.0, "extent": (0.3, 0.3)}]
+        out = r.observe(vehicles=veh, walkers=wlk, tl_red=red_line,
+                        stops=stop, road_polygons=road,
+                        sidewalk_polygons=sidewalk,
+                        lane_markings=lane_all,
+                        lane_markings_broken=lane_broken, render_rgb=True)
+
+    c = out["bev_semantic_classes"]
+    px = r._raster.world_to_px
+
+    def cls_at(x, y):
+        row, col = px(np.array([[x, y]]))[0]
+        return int(c[row, col])
+
+    assert cls_at(5.0, -5.0) == 1            # road
+    assert cls_at(5.0, 8.5) == 2             # sidewalk
+    assert cls_at(5.0, 0.0) == 3             # lane marking
+    assert cls_at(5.0, 3.5) == 4             # broken marking
+    assert cls_at(10.0, 5.0) == 5            # stop sign
+    assert cls_at(15.0, 0.0) == 8            # red light line
+    assert cls_at(12.0, -3.0) == 9           # vehicle at CURRENT pos
+    assert cls_at(12.0, 4.0) == 10           # walker
+
+    # masks: 3 static + 3 per history step
+    assert out["masks"].shape == (3 + 3 * 2, 192, 192)
+    veh_old, veh_new = out["masks"][3], out["masks"][6]
+    row_old, col_old = px(np.array([[8.0, -3.0]]))[0]   # tick 1 (idx -3)
+    row_new, col_new = px(np.array([[12.0, -3.0]]))[0]  # tick 3 (idx -1)
+    assert veh_old[row_old, col_old] == 255
+    assert veh_new[row_new, col_new] == 255
+    assert veh_old[row_new, col_new] == 0     # history separation
+
+    # rendering: current vehicle solid blue, older one tinted toward white
+    img = out["rendered"]
+    assert tuple(img[row_new, col_new]) == (0, 0, 255)
+    assert tuple(img[row_old, col_old]) == tint((0, 0, 255), 0.2)
+    # ego box drawn white at the bottom anchor
+    row_e, col_e = px(np.array([[0.0, 0.0]]))[0]
+    assert tuple(img[row_e, col_e]) == (255, 255, 255)

@@ -30,3 +30,52 @@ def test_shipped_experiment_configs_compose():
     assert cfg2.optimizer.lr == 2e-4
     assert cfg2.data.batch_size == 4
     assert cfg2.data.use_dreamer is False
+
+
+def test_two_process_distributed_smoke(tmp_path):
+    """VERDICT r2 #9: the coordinator-address branch of
+    multihost.initialize() actually executes -- two CPU processes form a
+    jax.distributed cluster, build a global mesh, and a cross-host psum
+    sums contributions from both processes."""
+    import socket
+    import subprocess
+    import sys
+    import textwrap
+
+    with socket.socket() as s:           # free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    child = textwrap.dedent(f"""
+        import os, sys
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from simlingo_tpu.parallel import multihost
+        pid = int(sys.argv[1])
+        ok = multihost.initialize(
+            coordinator_address="127.0.0.1:{port}",
+            num_processes=2, process_id=pid)
+        assert ok, "distributed mode must activate"
+        assert jax.process_count() == 2
+        assert len(jax.devices()) == 4          # 2 local x 2 processes
+        multihost.sync_hosts()
+        # global psum across both processes' devices
+        import jax.numpy as jnp
+        out = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(
+            jnp.ones((jax.local_device_count(),)) * (pid + 1))
+        assert float(out[0]) == 2 * (1 + 2)      # 2 devices each of 1 and 2
+        print(f"proc{{pid}} OK primary={{multihost.is_primary()}}")
+    """)
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_"))}
+    procs = [subprocess.Popen([sys.executable, "-c", child, str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True, env=env)
+             for i in range(2)]
+    outs = [p.communicate(timeout=180)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out}"
+    assert "proc0 OK primary=True" in outs[0]
+    assert "proc1 OK primary=False" in outs[1]
