@@ -713,6 +713,335 @@ def _flash_bwd(causal, scale, block_q, block_k, res, dout):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Lane-major HEAD-PAIR path: q/k/v/out cross HBM as [B, T, H*D] -- the exact
+# layout the projection matmuls produce. Two wins over [B, H, T, D]:
+#   * NO head-minor padding: a D=64 minor dim is tiled T(8,128) and pads HBM
+#     2x; with heads flattened into lanes the minor dim is H*D (1024 for the
+#     ViT), a 128 multiple. At batch 6 the ViT's saved q/k/v/out residuals
+#     alone are ~2.6 GB -- the padding doubled them.
+#   * NO relayout ops: the [B,T,HD]->[B,H,T,D] transposes (even einsum-fused)
+#     wrote the padded layout; here the kernel block-slices heads' lanes
+#     straight out of the matmul output.
+# Pallas TPU requires block lane dims to be multiples of 128, so one grid
+# program owns a PAIR of adjacent D=64 heads (a 128-lane block) and keeps
+# them separate with lane masks:
+#   * scores: two dots against lane-masked k -- dot(q_pair, k_pair*mask_h)
+#     contracts the full 128 lanes but the masked head contributes zero.
+#     A K=128 dot costs the same MXU time as the old half-depth K=64 dot,
+#     so compute is unchanged; only the traffic halves.
+#   * softmax/PV/backward run on ROW-STACKED [2*bq, ...] tiles (head 2's
+#     rows appended below head 1's), which turns the remaining per-head
+#     dots into single full-width dots (see _bwd_kernel_pair).
+# MHA only (the ViT tower): the GQA-packed LLM path keeps its
+# [B, HK, G, T, D] layout (its kv tensors are small and the G*bq row packing
+# is worth more than the padding there).
+# ---------------------------------------------------------------------------
+
+def _lane_masks(dtype):
+    """[1, 128] selectors for the low/high 64 lanes of a head pair."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    m1 = (lanes < 64).astype(dtype)
+    return m1, (1 - m1.astype(jnp.float32)).astype(dtype)
+
+
+def _fwd_kernel_pair(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref,
+                     lse_ref, *, scale2: float, causal: bool, block_q: int,
+                     block_k: int, kv_len: int):
+    # q_ref/o_ref: [1, bq, 128] (two D=64 heads in lanes); k/v_ref:
+    # [1, S, 128]; valid_ref: [1, 1, S]; lse_ref: [1, 2, STAT, bq]
+    qi = pl.program_id(2)
+    off = off_ref[0, 0]
+    q = q_ref[0]                                          # [bq, 128]
+    q = (q.astype(jnp.float32) * scale2).astype(q.dtype)
+    bq = q.shape[0]
+    rows = 2 * bq
+    nk = kv_len // block_k
+    m1, m2 = _lane_masks(q.dtype)
+
+    if causal:
+        # stacked row r maps to q slot off + qi*bq + (r mod bq)
+        row_slot = off + qi * block_q + jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 0), bq)
+        last = (off + qi * block_q + bq - 1) // block_k + 1
+        nk_eff = jnp.clip(last, 0, nk)
+        j_full = jnp.clip((off + qi * block_q - block_k + 1) // block_k + 1,
+                          0, nk_eff)
+    else:
+        nk_eff = nk
+        j_full = nk
+
+    def body(j, carry, masked):
+        acc, m_prev, l_prev = carry
+        kb = k_ref[0, pl.ds(j * block_k, block_k)]        # [bk, 128]
+        vb = v_ref[0, pl.ds(j * block_k, block_k)]
+        # per-head scores via lane-masked full-width dots, row-stacked
+        s1 = jax.lax.dot_general(q, kb * m1, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        s2 = jax.lax.dot_general(q, kb * m2, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        s = jnp.concatenate([s1, s2], axis=0)             # [2bq, bk]
+        bias = jnp.where(
+            valid_ref[0, 0, pl.ds(j * block_k, block_k)] != 0, 0.0, NEG_INF)
+        s = s + bias[None, :]
+        if masked:
+            kv_slot = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (rows, block_k), 1)
+            s = jnp.where(kv_slot <= row_slot, s, NEG_INF)
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp2(s - m_new[:, None])
+        alpha = jnp.exp2(m_prev - m_new)
+        l_new = l_prev * alpha + p.sum(axis=-1)
+        # ONE full-width PV dot: row-stacked p against the unmasked v pair;
+        # the off-head lanes of each row block are garbage, masked at the end
+        acc = acc * alpha[:, None] + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [2bq, 128]
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((rows, 128), jnp.float32)
+    m0 = jnp.full((rows,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((rows,), jnp.float32)
+    if not causal:
+        carry = (acc0, m0, l0)
+        for j in range(nk):
+            carry = body(j, carry, masked=False)
+    else:
+        carry = jax.lax.fori_loop(0, j_full,
+                                  functools.partial(body, masked=False),
+                                  (acc0, m0, l0))
+        carry = jax.lax.fori_loop(j_full, nk_eff,
+                                  functools.partial(body, masked=True),
+                                  carry)
+    acc, m, l = carry
+
+    l_safe = jnp.maximum(l, 1e-30)
+    o = acc / l_safe[:, None]                             # [2bq, 128]
+    m1f = m1.astype(jnp.float32)
+    m2f = m2.astype(jnp.float32)
+    o_ref[0] = (o[:bq] * m1f + o[bq:] * m2f).astype(o_ref.dtype)
+    lse = jnp.where(l > 0, m + jnp.log2(l_safe), NEG_INF)  # [2bq]
+    # stat rows via 2D ops only (1-D slices lower to unsupported gathers)
+    lse2d = jnp.broadcast_to(lse[None, :], (STAT_SUBLANES, 2 * bq))
+    lse_ref[0, 0] = jax.lax.slice(lse2d, (0, 0), (STAT_SUBLANES, bq))
+    lse_ref[0, 1] = jax.lax.slice(lse2d, (0, bq), (STAT_SUBLANES, 2 * bq))
+
+
+def _bwd_kernel_pair(off_ref, q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref,
+                     lse_ref, dq_ref, dk_ref, dv_ref, *, scale: float,
+                     scale2: float, causal: bool, block_q: int,
+                     block_k: int, q_len: int):
+    """Head-pair fused backward (see _bwd_kernel for the algorithm and
+    _fwd_kernel_pair for the pair/lane-mask scheme). All cross-row dots run
+    row-STACKED at full 128-lane width:
+      dv = p_stackT @ (do stacked lane-masked)       [bk, 128]
+      dp = (do stacked lane-masked) @ vbT            [2bq, bk]
+      dk = ds_stackT @ (q stacked lane-masked)       [bk, 128]
+      dq = lane-select(ds_stack @ kb)                [bq, 128]
+    """
+    ki = pl.program_id(2)
+    off = off_ref[0, 0]
+    kb = k_ref[0]                                         # [bk, 128]
+    vb = v_ref[0]
+    bk = kb.shape[0]
+    nq = q_len // block_q
+    m1, m2 = _lane_masks(kb.dtype)
+    m1f = m1.astype(jnp.float32)
+    m2f = m2.astype(jnp.float32)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
+
+    kv_bias = jnp.where(valid_ref[0, 0, pl.ds(ki * block_k, bk)] != 0,
+                        0.0, NEG_INF)
+    if causal:
+        kv_slot = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (2 * block_q, bk), 1)
+        first = jnp.clip((ki * block_k - off) // block_q, 0, nq)
+        j_clear = jnp.clip(-((off - ki * block_k - block_k + 1) // block_q),
+                           first, nq)
+    else:
+        first = 0
+        j_clear = 0
+
+    def body(j, carry, masked):
+        dk, dv = carry
+        sl = pl.ds(j * block_q, block_q)
+        qb = q_ref[0, sl]                                 # [bq, 128]
+        dob = do_ref[0, sl]
+        ob = o_ref[0, sl]
+        dof = dob.astype(jnp.float32) * ob.astype(jnp.float32)
+        # per-head row stats kept as separate [bq] vectors; all stacking
+        # happens on 2D tiles (1-D concats/slices lower to gathers)
+        delta_lo = (dof * m1f).sum(axis=-1)               # [bq]
+        delta_hi = (dof * m2f).sum(axis=-1)
+        lse_lo = lse_ref[0, 0, 0, sl]                     # [bq]
+        lse_hi = lse_ref[0, 1, 0, sl]
+        s1 = jax.lax.dot_general(qb, kb * m1, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        s2 = jax.lax.dot_general(qb, kb * m2, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        s = scale2 * jnp.concatenate([s1, s2], axis=0)    # [2bq, bk]
+        s = s + kv_bias[None, :]
+        if masked:
+            row_slot = off + j * block_q + jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, (2 * block_q, bk), 0),
+                block_q)
+            s = jnp.where(kv_slot <= row_slot, s, NEG_INF)
+        p = jnp.concatenate(
+            [jnp.exp2(s[:block_q] - lse_lo[:, None]),
+             jnp.exp2(s[block_q:] - lse_hi[:, None])], axis=0)  # [2bq, bk]
+        pc = p.astype(kb.dtype)
+        do_stack = jnp.concatenate([dob * m1, dob * m2], axis=0)  # [2bq, 128]
+        dv = dv + jax.lax.dot_general(
+            pc, do_stack, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [bk, 128]
+        dp = jax.lax.dot_general(
+            do_stack, vb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [2bq, bk]
+        ds = (p * jnp.concatenate(
+            [dp[:block_q] - delta_lo[:, None],
+             dp[block_q:] - delta_hi[:, None]], axis=0)).astype(kb.dtype)
+        q_stack = jnp.concatenate([qb * m1, qb * m2], axis=0)
+        dk = dk + scale * jax.lax.dot_general(
+            ds, q_stack, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [bk, 128]
+        dq_full = jax.lax.dot_general(
+            ds, kb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [2bq, 128]
+        dq_upd = scale * (dq_full[:block_q] * m1f
+                          + dq_full[block_q:] * m2f)      # [bq, 128]
+        dq_ref[0, sl] = (dq_ref[0, sl].astype(jnp.float32)
+                         + dq_upd).astype(dq_ref.dtype)
+        return dk, dv
+
+    dk0 = jnp.zeros((bk, 128), jnp.float32)
+    dv0 = jnp.zeros((bk, 128), jnp.float32)
+    carry = (dk0, dv0)
+    if causal:
+        carry = jax.lax.fori_loop(first, j_clear,
+                                  functools.partial(body, masked=True), carry)
+        dk, dv = jax.lax.fori_loop(j_clear, nq,
+                                   functools.partial(body, masked=False),
+                                   carry)
+    else:
+        for j in range(nq):
+            carry = body(j, carry, masked=False)
+        dk, dv = carry
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_lm(q, k, v, kv_valid, q_off, num_heads, causal, scale, block_q,
+              block_k):
+    out, _ = _flash_lm_fwd_impl(q, k, v, kv_valid, q_off, num_heads, causal,
+                                scale, block_q, block_k)
+    return out
+
+
+def _flash_lm_fwd_impl(q, k, v, kv_valid, q_off, num_heads, causal, scale,
+                       block_q, block_k):
+    # q: [B, T, H*D]; k/v: [B, S, H*D]; kv_valid: [B, 1, S] int32
+    B, T, HD = q.shape
+    S = k.shape[1]
+    H = num_heads
+    nq = T // block_q
+    npair = H // 2
+
+    kernel = functools.partial(
+        _fwd_kernel_pair, scale2=scale * LOG2E, causal=causal,
+        block_q=block_q, block_k=block_k, kv_len=S)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(B, npair, nq),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, 128), lambda b, h, i: (b, i, h)),
+            pl.BlockSpec((1, S, 128), lambda b, h, i: (b, 0, h)),
+            pl.BlockSpec((1, S, 128), lambda b, h, i: (b, 0, h)),
+            pl.BlockSpec((1, 1, S), lambda b, h, i: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, 128), lambda b, h, i: (b, i, h)),
+            pl.BlockSpec((1, 2, STAT_SUBLANES, block_q),
+                         lambda b, h, i: (b, h, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, HD), q.dtype),
+            jax.ShapeDtypeStruct((B, H, STAT_SUBLANES, T), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(q_off, q, k, v, kv_valid)
+    return out, lse
+
+
+def _flash_lm_fwd(q, k, v, kv_valid, q_off, num_heads, causal, scale,
+                  block_q, block_k):
+    out, lse = _flash_lm_fwd_impl(q, k, v, kv_valid, q_off, num_heads,
+                                  causal, scale, block_q, block_k)
+    return out, (q, k, v, kv_valid, q_off, out, lse)
+
+
+def _flash_lm_bwd(num_heads, causal, scale, block_q, block_k, res, dout):
+    q, k, v, kv_valid, q_off, out, lse = res
+    B, T, HD = q.shape
+    S = k.shape[1]
+    H = num_heads
+    npair = H // 2
+
+    # inner-block sizing: the pair kernel's score tiles are ROW-STACKED
+    # ([2*bq, bk]), and v5e scoped VMEM is 16 MiB -- budget ~12 MiB across
+    # the ~3 fp32 [2bq, bk] tiles (s/p, dp) + bf16 (pc, ds) + stacks
+    block_k = S if S <= 1280 else 256
+    budget_rows = max((12 * 1024 * 1024) // (24 * block_k), 128)
+    bq_inner = 128
+    for d in range(128, min(T, budget_rows) + 1, 128):
+        if T % d == 0:
+            bq_inner = d
+    nk_grid = S // block_k
+    dq_dtype = q.dtype if nk_grid == 1 else jnp.float32
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_pair, scale=scale,
+                          scale2=scale * LOG2E, causal=causal,
+                          block_q=bq_inner, block_k=block_k, q_len=T),
+        grid=(B, npair, nk_grid),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, T, 128), lambda b, h, i: (b, 0, h)),
+            pl.BlockSpec((1, block_k, 128), lambda b, h, i: (b, i, h)),
+            pl.BlockSpec((1, block_k, 128), lambda b, h, i: (b, i, h)),
+            pl.BlockSpec((1, 1, S), lambda b, h, i: (b, 0, 0)),
+            pl.BlockSpec((1, T, 128), lambda b, h, i: (b, 0, h)),
+            pl.BlockSpec((1, T, 128), lambda b, h, i: (b, 0, h)),
+            pl.BlockSpec((1, 2, STAT_SUBLANES, T),
+                         lambda b, h, i: (b, h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T, 128), lambda b, h, i: (b, 0, h)),
+            pl.BlockSpec((1, block_k, 128), lambda b, h, i: (b, i, h)),
+            pl.BlockSpec((1, block_k, 128), lambda b, h, i: (b, i, h)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, HD), dq_dtype),
+            jax.ShapeDtypeStruct((B, S, HD), k.dtype),
+            jax.ShapeDtypeStruct((B, S, HD), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(q_off, q, k, v, kv_valid, out, dout, lse)
+    return dq.astype(q.dtype), dk, dv, None, None
+
+
+_flash_lm.defvjp(_flash_lm_fwd, _flash_lm_bwd)
+
+
 def flash_attention(
     q: jnp.ndarray,                     # [B, T, HQ, D] (or [B, HQ, T, D])
     k: jnp.ndarray,                     # [B, S, HK, D] (or [B, HK, S, D])
@@ -724,6 +1053,8 @@ def flash_attention(
     block_k: Optional[int] = None,
     q_offset: Optional[jnp.ndarray] = None,   # scalar: global slot of q row 0
     layout: str = "bthd",
+    num_heads: Optional[int] = None,          # bt_hd: q heads
+    num_kv_heads: Optional[int] = None,       # bt_hd: kv heads (default = q)
 ) -> jnp.ndarray:
     """Pallas flash attention with slot-order causality + key-validity masking.
 
@@ -734,9 +1065,25 @@ def flash_attention(
     layout="bhtd" takes/returns head-major tensors and skips the wrapper's
     relayouts entirely -- callers that can produce q/k/v head-major via an
     einsum (the ViT tower) save four [B, H, T, D]-sized copies per layer.
+
+    layout="bt_hd" (MHA only) takes/returns FLAT head tensors [B, T, H*D] --
+    the projection matmuls' native output -- and never materializes a
+    [B, H, T, D] array at all: no relayout ops AND no 2x HBM padding of the
+    64-lane head dim (see _flash_lm head-pair scheme; requires `num_heads`,
+    an even head count, and D == 64).
     """
-    assert layout in ("bthd", "bhtd"), layout
-    if layout == "bhtd":
+    assert layout in ("bthd", "bhtd", "bt_hd"), layout
+    if layout == "bt_hd":
+        assert num_heads, "bt_hd layout requires num_heads"
+        B, T, HDq = q.shape
+        _, S, HDk = k.shape
+        HQ = num_heads
+        HK = num_kv_heads or HQ
+        D = HDq // HQ
+        assert HQ == HK, "bt_hd is the MHA path (GQA keeps the packed path)"
+        assert HQ % 2 == 0 and D == 64, \
+            "bt_hd packs two 64-wide heads per 128-lane block"
+    elif layout == "bhtd":
         B, HQ, T, D = q.shape
         _, HK, S, _ = k.shape
     else:
@@ -780,6 +1127,17 @@ def flash_attention(
         # dim directly, so a [1, S] mask would be read out of bounds for
         # b > 0 (silent OOB DMA -- crashes some TPU runtimes)
         kv_valid = jnp.broadcast_to(kv_valid, (B, S)).astype(jnp.int32)
+
+    if layout == "bt_hd":
+        # lane-major: pad only the sequence (row) dim; heads stay in lanes
+        qt = _pad_to(q, 1, block_q)
+        kt = _pad_to(k, 1, block_k)
+        vt = _pad_to(v, 1, block_k)
+        valid = _pad_to(kv_valid, 1, block_k)[:, None, :]
+        Tp = qt.shape[1]
+        out = _flash_lm(qt, kt, vt, valid, q_off, HQ, causal, scale,
+                        block_q, block_k)
+        return out[:, :T]
 
     # [B, T, H, D] -> [B, H, T, D]; pad sequence dims to block multiples
     if layout == "bhtd":
@@ -913,6 +1271,8 @@ def attention(
     use_pallas: Optional[bool] = None,
     q_offset: Optional[jnp.ndarray] = None,
     layout: str = "bthd",
+    num_heads: Optional[int] = None,
+    num_kv_heads: Optional[int] = None,
 ) -> jnp.ndarray:
     """Dispatch between our Pallas kernel, the XLA reference, and the
     bundled-kernel adapter (see _ATTN_IMPL)."""
@@ -930,10 +1290,19 @@ def attention(
         impl = "pallas"  # dynamic offset => inference path, fwd-only
     if impl == "pallas":
         return flash_attention(q, k, v, kv_valid, causal=causal, scale=scale,
-                               q_offset=q_offset, layout=layout)
+                               q_offset=q_offset, layout=layout,
+                               num_heads=num_heads,
+                               num_kv_heads=num_kv_heads)
     # remaining impls are bthd-native: relayout at the boundary
     if layout == "bhtd":
         q, k, v = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    elif layout == "bt_hd":
+        B, T, _ = q.shape
+        S = k.shape[1]
+        HK = num_kv_heads or num_heads
+        q = q.reshape(B, T, num_heads, -1)
+        k = k.reshape(B, S, HK, -1)
+        v = v.reshape(B, S, HK, -1)
     if impl == "hybrid":
         out = flash_attention_hybrid(q, k, v, kv_valid, causal=causal,
                                      scale=scale, q_offset=q_offset)
@@ -942,4 +1311,8 @@ def attention(
     else:
         out = attention_reference(q, k, v, kv_valid, causal=causal,
                                   scale=scale, q_offset=q_offset)
-    return out.transpose(0, 2, 1, 3) if layout == "bhtd" else out
+    if layout == "bhtd":
+        return out.transpose(0, 2, 1, 3)
+    if layout == "bt_hd":
+        return out.reshape(out.shape[0], out.shape[1], -1)
+    return out

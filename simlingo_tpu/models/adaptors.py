@@ -193,14 +193,43 @@ def gather_answer_states(hidden: jnp.ndarray, ids: jnp.ndarray,
 
 
 def language_loss_gathered(hidden_g: jnp.ndarray, labels: jnp.ndarray,
-                           valid: jnp.ndarray, logits_fn
+                           valid: jnp.ndarray, logits_fn,
+                           chunk: int = 32
                            ) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
-    """CE over gathered answer positions (same semantics as language_loss)."""
-    logits = logits_fn(hidden_g).astype(jnp.float32)              # [B, A, V]
-    logz = jax.nn.logsumexp(logits, axis=-1)
-    gold = jnp.take_along_axis(
-        logits, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
-    ce = jnp.where(valid, logz - gold, 0.0)
+    """CE over gathered answer positions (same semantics as language_loss).
+
+    The logits tensor [B, A, 151674-vocab] in fp32 is the single largest
+    HLO temp of the step (~740 MB at batch 8): it is never materialized.
+    A lax.scan over `chunk`-token slices computes one [B, chunk, V] slab at
+    a time, and the checkpointed body recomputes it in the backward -- the
+    lm-head matmul is ~2% of step FLOPs, so the recompute is noise while
+    the memory drops by A/chunk (x5 at the production answer length 160).
+    """
+    B, A, H = hidden_g.shape
+    if chunk <= 0 or A <= chunk or A % chunk != 0:
+        logits = logits_fn(hidden_g).astype(jnp.float32)          # [B, A, V]
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        gold = jnp.take_along_axis(
+            logits, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        ce = jnp.where(valid, logz - gold, 0.0)
+        return {"language_loss": (ce, valid)}
+
+    n = A // chunk
+    hc = hidden_g.reshape(B, n, chunk, H).transpose(1, 0, 2, 3)
+    lc = labels.reshape(B, n, chunk).transpose(1, 0, 2)
+    vc = valid.reshape(B, n, chunk).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def body(_, xs):
+        h, lab, val = xs
+        logits = logits_fn(h).astype(jnp.float32)                 # [B, c, V]
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        gold = jnp.take_along_axis(
+            logits, lab[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        return None, jnp.where(val, logz - gold, 0.0)
+
+    _, ce = jax.lax.scan(body, None, (hc, lc, vc))                # [n, B, c]
+    ce = ce.transpose(1, 0, 2).reshape(B, A)
     return {"language_loss": (ce, valid)}
 
 

@@ -137,6 +137,18 @@ def _vit_layer(p, x, cfg: ViTConfig):
         a = attention(q, k, v, None, causal=False)
         a = ad_checkpoint.checkpoint_name(a, "vit_attn_out")
         a = L.linear(p["attn"]["o"], a.reshape(B, T, H))
+    elif hd == 64 and nh % 2 == 0:
+        # lane-major attention: q/k/v stay [B, T, H] -- the linear's native
+        # output -- and the kernel reads head pairs straight from the
+        # matmul output lanes. No relayout ops AND no 2x HBM padding of a
+        # 64-lane minor dim (flash_attention layout="bt_hd" notes).
+        q = L.linear(p["attn"]["q"], h)
+        k = L.linear(p["attn"]["k"], h)
+        v = L.linear(p["attn"]["v"], h)
+        a = attention(q, k, v, None, causal=False, layout="bt_hd",
+                      num_heads=nh, scale=hd ** -0.5)
+        a = ad_checkpoint.checkpoint_name(a, "vit_attn_out")
+        a = L.linear(p["attn"]["o"], a)
     else:
         # head-major projections: the einsum fuses the [B,T,H*D]->[B,H,T,D]
         # relayout into the matmul's output write, and the kernel consumes

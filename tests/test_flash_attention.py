@@ -92,3 +92,57 @@ def test_fully_masked_rows_are_finite():
     for g in (dq, dk, dv):
         assert np.all(np.isfinite(np.asarray(g)))
         np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
+
+
+def test_lane_major_matches_reference():
+    """bt_hd (lane-major [B, T, H*D]) path: forward + gradients match the
+    head-structured reference exactly -- same kernel math, different HBM
+    layout (no 64-lane padding; VERDICT r2 throughput lever)."""
+    B, T, H, D = 2, 256, 4, 64
+    key = jax.random.PRNGKey(7)
+    q, k, v = _rand_qkv(key, B, T, T, H, H, D)
+    qf = q.reshape(B, T, H * D)
+    kf = k.reshape(B, T, H * D)
+    vf = v.reshape(B, T, H * D)
+    kv_valid = jnp.arange(T)[None, :] < (T - 13)
+
+    for causal in (False, True):
+        out_lm = flash_attention(qf, kf, vf, kv_valid, causal=causal,
+                                 layout="bt_hd", num_heads=H)
+        out_ref = attention_reference(q, k, v, kv_valid, causal=causal)
+        np.testing.assert_allclose(
+            np.asarray(out_lm), np.asarray(out_ref.reshape(B, T, H * D)),
+            atol=2e-2, rtol=2e-2)
+
+    def loss_lm(q_, k_, v_):
+        o = flash_attention(q_, k_, v_, kv_valid, causal=True,
+                            layout="bt_hd", num_heads=H)
+        return (o * jnp.cos(jnp.arange(o.size).reshape(o.shape))).sum()
+
+    def loss_ref(q_, k_, v_):
+        o = attention_reference(q_.reshape(B, T, H, D),
+                                k_.reshape(B, T, H, D),
+                                v_.reshape(B, T, H, D), kv_valid,
+                                causal=True).reshape(B, T, H * D)
+        return (o * jnp.cos(jnp.arange(o.size).reshape(o.shape))).sum()
+
+    g_lm = jax.grad(loss_lm, argnums=(0, 1, 2))(qf, kf, vf)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(qf, kf, vf)
+    for gl, gr, name in zip(g_lm, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(gr),
+                                   atol=1e-4, rtol=1e-4, err_msg=name)
+
+
+def test_lane_major_unpadded_length():
+    """bt_hd with a non-128-multiple sequence (ViT: 1025 tokens) pads rows
+    internally and slices back."""
+    B, T, H, D = 1, 130, 2, 64
+    q, k, v = _rand_qkv(jax.random.PRNGKey(9), B, T, T, H, H, D)
+    out_lm = flash_attention(q.reshape(B, T, -1), k.reshape(B, T, -1),
+                             v.reshape(B, T, -1), None, causal=False,
+                             layout="bt_hd", num_heads=H)
+    out_ref = attention_reference(q, k, v, None, causal=False)
+    assert out_lm.shape == (B, T, H * D)
+    np.testing.assert_allclose(np.asarray(out_lm),
+                               np.asarray(out_ref.reshape(B, T, -1)),
+                               atol=2e-2, rtol=2e-2)
