@@ -1,0 +1,357 @@
+"""Microsim route runner: closed-loop evaluation + expert data collection.
+
+The leaderboard equivalent (Bench2Drive/leaderboard/leaderboard/
+leaderboard_evaluator.py + scenarios/scenario_manager.py): build the world
+and scenarios from a route spec, tick the agent against it, score with the
+criteria, and write a leaderboard-format result JSON that
+eval/driving_score.py merges/parses. Two drivers are provided:
+
+  ExpertDriver  -- the privileged PDM-Lite expert (expert/autopilot.py via
+                   agent/data_agent.DataCollector when saving), used for
+                   in-repo dataset collection: the microsim replaces the
+                   CARLA plumbing of agent/carla_data_agent.py.
+  ModelDriver   -- the trained model (agent/agent.LingoAgent) fed by the
+                   synthetic camera, used for closed-loop evaluation: the
+                   microsim replaces agent/carla_agent.py.
+
+Route specs are plain dicts (JSON-friendly):
+  {"town": "straight" | "crossing" | "curved",
+   "town_kwargs": {...},
+   "start_s": 5.0, "end_s": 380.0,
+   "scenarios": [{"type": "Accident", "at_s": 120.0}, ...],
+   "npcs": [{"at_s": 60.0, "lane": 0, "speed": 7.0}, ...],
+   "route_id": "micro_0"}
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from simlingo_tpu.sim import map as simmap
+from simlingo_tpu.sim.actors import Vehicle
+from simlingo_tpu.sim.camera import Camera
+from simlingo_tpu.sim.criteria import RouteCriteria
+from simlingo_tpu.sim.scenarios import ScenarioBuilder, scripted_tick
+from simlingo_tpu.sim.world import SimWorld
+
+TOWNS = {
+    "straight": simmap.straight_town,
+    "curved": simmap.curved_town,
+    "crossing": simmap.crossing_town,
+}
+
+
+def build_world(spec: Dict, seed: int = 0
+                ) -> Tuple[SimWorld, np.ndarray, List[Dict]]:
+    """(world with ego + scenarios spawned, sparse route, scenario recs)."""
+    town = TOWNS[spec.get("town", "straight")](
+        **spec.get("town_kwargs", {}))
+    world = SimWorld(town, seed=seed)
+    lane = town.lanes[spec.get("ego_lane", 0)]
+    s0 = float(spec.get("start_s", 5.0))
+    s1 = float(spec.get("end_s", lane.length - 5.0))
+    grid = np.arange(s0, s1, 1.0)
+    route = np.stack([lane.point_at_s(s) for s in grid], 0)
+    world.spawn_ego(lane.point_at_s(s0), yaw=lane.yaw_at_s(s0),
+                    speed=float(spec.get("start_speed", 0.0)))
+
+    builder = ScenarioBuilder(world, route)
+    records = []
+    for sc in spec.get("scenarios", []):
+        rec = builder.build(sc["type"], float(sc["at_s"]) - s0,
+                            **{k: v for k, v in sc.items()
+                               if k not in ("type", "at_s")})
+        if rec is not None:
+            records.append(rec)
+    for npc in spec.get("npcs", []):
+        nl = town.lanes[npc.get("lane", lane.lane_id)]
+        s = float(npc.get("at_s", 50.0))
+        world.spawn(Vehicle(nl.point_at_s(s), yaw=nl.yaw_at_s(s),
+                            speed=float(npc.get("speed", 0.0)), lane=nl,
+                            target_speed=float(npc.get("target_speed",
+                                                       npc.get("speed",
+                                                               7.0)))))
+    return world, route, records
+
+
+# ---------------------------------------------------------------------------
+# Drivers
+# ---------------------------------------------------------------------------
+
+class ExpertDriver:
+    """Privileged expert closing the loop (collection-capable).
+
+    Mirrors agent/carla_data_agent.py's wiring with the microsim as the
+    privileged world: dense route via expert/route_planner, scenario
+    records into expert/scenarios.ScenarioManager, ego-frame actor dicts
+    into expert/autopilot.AutoPilot.
+    """
+
+    def __init__(self, world: SimWorld, route: np.ndarray,
+                 scenario_records: Sequence[Dict] = (),
+                 save_path: Optional[str] = None,
+                 data_save_freq: int = 5, seed: int = 0,
+                 camera: Optional[Camera] = None,
+                 target_speed: float = 8.0):
+        from simlingo_tpu.expert.route_planner import PrivilegedRoutePlanner
+        from simlingo_tpu.expert.scenarios import ScenarioManager
+
+        self.world = world
+        self.planner = PrivilegedRoutePlanner()
+        self.planner.set_route(np.asarray(route, float))
+        self.scenarios = ScenarioManager(self.planner)
+        self.scenario_records = list(scenario_records)
+        self.target_speed = target_speed
+        self.camera = camera
+        self.collector = None
+        if save_path is not None:
+            from simlingo_tpu.agent.data_agent import DataCollector
+            self.collector = DataCollector(save_path,
+                                           data_save_freq=data_save_freq,
+                                           seed=seed, save_lidar=False)
+            self.camera = self.camera or Camera()
+        else:
+            from simlingo_tpu.expert.autopilot import AutoPilot
+            self.expert = AutoPilot()
+
+    def _actors_ego_frame(self) -> List[Dict]:
+        from simlingo_tpu.utils.geometry import inverse_conversion_2d
+        ego = self.world.ego
+        out = []
+        for a in self.world.actors:
+            if a is ego or not a.alive:
+                continue
+            rel = inverse_conversion_2d(a.position, ego.position, ego.yaw)
+            if np.linalg.norm(rel) >= 50:
+                continue
+            steer, throttle, brake = a.control
+            out.append({
+                "position": rel.tolist(),
+                "yaw": float(a.yaw - ego.yaw),
+                "speed": float(a.speed),
+                "type_id": a.type_id, "base_type": a.base_type,
+                "id": a.actor_id,
+                "extent": [float(a.extent[0]), float(a.extent[1])],
+                "steer": float(steer), "throttle": float(throttle),
+                "brake": bool(brake > 0.5),
+            })
+        return out
+
+    def _light_info(self) -> Tuple[Optional[str], Optional[float]]:
+        ego = self.world.ego
+        lane = self.world.map.closest_lane(ego.position)
+        light = self.world.light_for_lane(lane.lane_id)
+        if light is None:
+            return None, None
+        s_ego, _ = lane.project(ego.position)
+        s_line, _ = lane.project(light.spot.position)
+        d = s_line - s_ego
+        if d < -2.0 or d > 60.0:
+            return None, None
+        return light.state, max(d, 0.0)
+
+    def _stop_info(self) -> Tuple[Optional[float], Optional[int]]:
+        ego = self.world.ego
+        lane = self.world.map.closest_lane(ego.position)
+        for stop in self.world.map.stops:
+            if stop.lane_id != lane.lane_id:
+                continue
+            s_ego, _ = lane.project(ego.position)
+            s_stop, _ = lane.project(stop.position)
+            d = s_stop - s_ego
+            if -2.0 < d < 50.0:
+                return max(d, 0.0), stop.sign_id
+        return None, None
+
+    def step(self) -> Tuple[float, float, float]:
+        from simlingo_tpu.expert.autopilot import ExpertObservation
+
+        world, ego = self.world, self.world.ego
+        actors = self._actors_ego_frame()
+        self.scenarios.set_active(self.scenario_records)
+        oncoming = [a for a in actors if abs(
+            math.remainder(a["yaw"], 2 * math.pi)) > 2.0]
+        scenario_result = self.scenarios.tick(
+            self.target_speed, ego.speed, ego.position, oncoming)
+        inp = self.planner.ego_inputs(ego.position, ego.yaw)
+        light_state, light_distance = self._light_info()
+        stop_distance, stop_id = self._stop_info()
+        wp = world.map.waypoint(ego.position)
+        obs = ExpertObservation(
+            pos_global=ego.position.copy(), theta=ego.yaw,
+            speed=ego.speed, speed_limit=wp["speed_limit"],
+            route=inp["route"], route_original=inp["route_original"],
+            target_point=inp["target_point"],
+            target_point_next=inp["target_point_next"],
+            actors=actors, light_state=light_state,
+            light_distance=light_distance,
+            stop_sign_distance=stop_distance, stop_sign_id=stop_id,
+            junction=bool(wp["is_junction"]),
+            changed_route=inp["changed_route"])
+        if self.collector is not None:
+            frames = self.camera.render(world)
+            lane_info = self._lane_info(wp)
+            out = self.collector.tick(
+                obs, rgb=frames["rgb"], rgb_augmented=frames["rgb"],
+                boxes=actors + [dict(lane_info, **{"class": "ego_info"})],
+                scenario_result=scenario_result,
+                extra_measurements=lane_info)
+        else:
+            out = self.expert.tick(obs, scenario_result=scenario_result)
+        return (float(out["steer"]), float(out["throttle"]),
+                float(out["brake"]))
+
+    def _lane_info(self, wp: Dict) -> Dict:
+        lane = self.world.map.lanes[wp["lane_id"]]
+        n_same, left_of_ego = 1, 0
+        probe = lane
+        while probe.left is not None:
+            probe = self.world.map.lanes[probe.left]
+            n_same += 1
+            left_of_ego += 1
+        probe = lane
+        while probe.right is not None:
+            nxt = self.world.map.lanes[probe.right]
+            if nxt.lane_type != "driving":
+                break
+            probe = nxt
+            n_same += 1
+        n_opp = 1 if lane.opposite is not None else 0
+        return {
+            "is_in_junction": bool(wp["is_junction"]),
+            "lane_marking_left": lane.marking_left,
+            "lane_marking_right": lane.marking_right,
+            "distance_to_junction": None,
+            "num_lanes_same_direction": n_same,
+            "num_lanes_opposite_direction": n_opp,
+            "ego_lane_number": left_of_ego,
+        }
+
+    def destroy(self, record: Optional[Dict] = None) -> None:
+        """Write results.json.gz with the route's REAL outcome so the
+        dataset quality gate (data/index.py) sees the same scores the
+        leaderboard would record."""
+        if self.collector is None:
+            return
+        if record is None:
+            self.collector.destroy()
+        else:
+            self.collector.destroy(
+                route_completion=record["scores"]["score_route"],
+                infractions=record["infractions"])
+
+
+class ModelDriver:
+    """Trained-model agent closing the loop through the synthetic camera
+    (microsim counterpart of agent/carla_agent.py)."""
+
+    def __init__(self, agent, world: SimWorld, route: np.ndarray,
+                 camera: Optional[Camera] = None,
+                 tp_distances: Tuple[float, float] = (30.0, 60.0)):
+        from simlingo_tpu.expert.route_planner import PrivilegedRoutePlanner
+        self.agent = agent
+        self.world = world
+        self.camera = camera or Camera()
+        self.planner = PrivilegedRoutePlanner()
+        self.planner.set_route(np.asarray(route, float))
+        self.tp_distances = tp_distances
+
+    def step(self) -> Tuple[float, float, float]:
+        from simlingo_tpu.agent.agent import AgentFrame
+        ego = self.world.ego
+        frames = self.camera.render(self.world)
+        inp = self.planner.ego_inputs(ego.position, ego.yaw,
+                                      tp_distances=self.tp_distances)
+        frame = AgentFrame(rgb=frames["rgb"], speed=float(ego.speed),
+                           target_point=np.asarray(inp["target_point"]),
+                           next_target_point=np.asarray(
+                               inp["target_point_next"]),
+                           compass=float(ego.yaw),
+                           gps=ego.position.copy())
+        out = self.agent.run_step(frame)
+        return (float(out["steer"]), float(out["throttle"]),
+                float(out["brake"]))
+
+    def destroy(self, record: Optional[Dict] = None) -> None:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# Route loop
+# ---------------------------------------------------------------------------
+
+def run_route(spec: Dict,
+              driver_factory: Callable[[SimWorld, np.ndarray,
+                                        List[Dict]], object],
+              max_steps: Optional[int] = None,
+              seed: int = 0,
+              on_tick: Optional[Callable] = None) -> Dict:
+    """Run one route closed-loop; returns the leaderboard record."""
+    world, route, scen_records = build_world(spec, seed=seed)
+    criteria = RouteCriteria(world, route,
+                             timeout=spec.get("timeout"))
+    driver = driver_factory(world, route, scen_records)
+    t0 = time.time()
+    steps = max_steps if max_steps is not None else int(
+        criteria.timeout / world.dt) + 1
+    record = None
+    try:
+        for _ in range(steps):
+            steer, throttle, brake = driver.step()
+            world.apply_ego_control(steer, throttle, brake)
+            world.tick()
+            scripted_tick(world)
+            criteria.update()
+            if on_tick is not None:
+                on_tick(world, criteria)
+            if criteria.finished:
+                break
+        record = criteria.record(route_id=spec.get("route_id", "micro_0"),
+                                 wall_time=time.time() - t0)
+    finally:
+        driver.destroy(record)
+    return record
+
+
+def run_routes(specs: Sequence[Dict], driver_factory,
+               out_path: Optional[str] = None, seed: int = 0) -> Dict:
+    """Run many routes; write a leaderboard-format checkpoint JSON."""
+    records = [run_route(s, driver_factory, seed=seed + i)
+               for i, s in enumerate(specs)]
+    checkpoint = {"_checkpoint": {"records": records}}
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(checkpoint, f, indent=1)
+    return checkpoint
+
+
+def expert_factory(save_root: Optional[str] = None, seed: int = 0,
+                   dir_name_fmt: str = "route_{i:03}",
+                   **kw) -> Callable:
+    """dir_name_fmt: per-route directory name under save_root; use e.g.
+    "Town12_micro_{i:03}" to land in the training pipeline's expected
+    layout (data/simlingo/v1/*/routes_training/Town*)."""
+    counter = {"i": 0}
+
+    def make(world, route, scen_records):
+        save_path = None
+        if save_root is not None:
+            save_path = os.path.join(save_root,
+                                     dir_name_fmt.format(i=counter["i"]))
+            counter["i"] += 1
+        return ExpertDriver(world, route, scen_records,
+                            save_path=save_path, seed=seed, **kw)
+    return make
+
+
+def model_factory(agent, **kw) -> Callable:
+    def make(world, route, scen_records):
+        return ModelDriver(agent, world, route, **kw)
+    return make

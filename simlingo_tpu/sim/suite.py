@@ -1,0 +1,165 @@
+"""MicroBench: the microsim's standing route suite + CLI.
+
+A Bench2Drive-style benchmark that runs entirely in-repo: one route per
+scenario type (reference Bench2Drive ships 220 routes over 44 scenario
+types; this suite covers the framework's full scenario inventory once per
+type, in both clean and NPC-traffic variants). Results are leaderboard-
+format JSON consumed by eval/driving_score.py.
+
+CLI:
+  # privileged expert, full suite, scores to stdout + JSON
+  python -m simlingo_tpu.sim.suite --agent expert --out results/micro.json
+
+  # expert with dataset collection (the in-repo data-collection path)
+  python -m simlingo_tpu.sim.suite --agent expert --collect data/micro
+
+  # trained model closed-loop (HF-layout checkpoint dir)
+  python -m simlingo_tpu.sim.suite --agent model --checkpoint ckpt/ \
+      --out results/model.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Dict, List, Optional
+
+MICROBENCH: List[Dict] = [
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_00_free"},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_01_traffic",
+     "npcs": [{"at_s": 45.0, "lane": 0, "speed": 6.0},
+              {"at_s": 90.0, "lane": 1, "speed": 7.0},
+              {"at_s": 60.0, "lane": 2, "speed": 7.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_02_accident",
+     "scenarios": [{"type": "Accident", "at_s": 110.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_03_accident_twoways", "town_kwargs":
+         {"lanes_per_dir": 1},
+     "scenarios": [{"type": "AccidentTwoWays", "at_s": 110.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_04_construction",
+     "scenarios": [{"type": "ConstructionObstacle", "at_s": 110.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_05_construction_twoways",
+     "town_kwargs": {"lanes_per_dir": 1},
+     "scenarios": [{"type": "ConstructionObstacleTwoWays", "at_s": 110.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_06_parked",
+     "scenarios": [{"type": "ParkedObstacle", "at_s": 100.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_07_parked_twoways",
+     "town_kwargs": {"lanes_per_dir": 1},
+     "scenarios": [{"type": "ParkedObstacleTwoWays", "at_s": 100.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_08_opens_door",
+     "town_kwargs": {"lanes_per_dir": 1},
+     "scenarios": [{"type": "VehicleOpensDoorTwoWays", "at_s": 100.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_09_hazard_side_lane",
+     "scenarios": [{"type": "HazardAtSideLane", "at_s": 90.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_10_yield_emergency",
+     "scenarios": [{"type": "YieldToEmergencyVehicle", "at_s": 60.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_11_ped_crossing",
+     "scenarios": [{"type": "DynamicObjectCrossing", "at_s": 120.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_12_bicycle_flow",
+     "scenarios": [{"type": "CrossingBicycleFlow", "at_s": 130.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_13_blocked_intersection",
+     "scenarios": [{"type": "BlockedIntersection", "at_s": 120.0}]},
+    {"town": "curved", "start_s": 5.0, "end_s": 240.0,
+     "route_id": "micro_14_invading_turn",
+     "scenarios": [{"type": "InvadingTurn", "at_s": 100.0}]},
+    {"town": "crossing", "start_s": 5.0, "end_s": 290.0,
+     "route_id": "micro_15_signalized_junction"},
+    {"town": "crossing", "start_s": 5.0, "end_s": 290.0,
+     "route_id": "micro_16_stop_sign",
+     "town_kwargs": {"lights": False, "stop_sign": True}},
+]
+
+
+def load_model_agent(checkpoint: Optional[str], tiny: bool = False):
+    """Build a LingoAgent from an HF-layout checkpoint dir (or a tiny
+    random model for pipeline smoke tests)."""
+    import jax
+    import jax.numpy as jnp
+    from simlingo_tpu.agent.agent import LingoAgent
+    from simlingo_tpu.agent.config import AgentConfig
+    from simlingo_tpu.data.tokenizer import SimLingoTokenizer
+    from simlingo_tpu.models import simlingo
+
+    tok = SimLingoTokenizer()
+    if tiny or checkpoint is None:
+        from simlingo_tpu.models.qwen2 import Qwen2Config
+        from simlingo_tpu.models.simlingo import SimLingoConfig
+        from simlingo_tpu.models.vit import ViTConfig
+        cfg = SimLingoConfig(
+            vit=ViTConfig(hidden_size=64, num_layers=2, num_heads=4,
+                          intermediate_size=128, image_size=448,
+                          patch_size=56, projector_out=64),
+            llm=Qwen2Config.tiny(vocab_size=tok.tk.vocab_size + 8),
+            img_context_token_id=tok.img_context_id,
+            remat_vision=False, remat_llm=False)
+        params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
+        return LingoAgent(params, cfg, AgentConfig(use_cot=False,
+                                                   initial_frames_delay=0),
+                          tokenizer=tok, max_prompt_len=128,
+                          compute_dtype=jnp.float32)
+    from simlingo_tpu.core import checkpoint as ckpt
+    from simlingo_tpu.core.presets import internvl2_1b
+    cfg = internvl2_1b()
+    params = ckpt.load_hf_checkpoint(checkpoint, cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return LingoAgent(params, cfg, AgentConfig(), tokenizer=tok)
+
+
+def main(argv=None) -> Dict:
+    from simlingo_tpu.eval.driving_score import merge_route_results
+    from simlingo_tpu.sim.runner import (expert_factory, model_factory,
+                                         run_routes)
+
+    ap = argparse.ArgumentParser(description="MicroBench closed-loop suite")
+    ap.add_argument("--agent", choices=("expert", "model", "tiny-model"),
+                    default="expert")
+    ap.add_argument("--checkpoint", default=None,
+                    help="HF-layout checkpoint dir for --agent model")
+    ap.add_argument("--collect", default=None,
+                    help="dataset root: save expert sensor data per route")
+    ap.add_argument("--out", default=None, help="result JSON path")
+    ap.add_argument("--routes", default=None,
+                    help="comma-separated route_id filter")
+    ap.add_argument("--max-steps", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    specs = MICROBENCH
+    if args.routes:
+        wanted = set(args.routes.split(","))
+        specs = [s for s in specs if s["route_id"] in wanted
+                 or any(w in s["route_id"] for w in wanted)]
+    if args.agent == "expert":
+        factory = expert_factory(save_root=args.collect)
+    else:
+        agent = load_model_agent(args.checkpoint,
+                                 tiny=args.agent == "tiny-model")
+        factory = model_factory(agent)
+
+    out_path = args.out or "microbench_results.json"
+    checkpoint = run_routes(specs, factory, out_path=out_path)
+    records = checkpoint["_checkpoint"]["records"]
+    for r in records:
+        inf = {k: len(v) for k, v in r["infractions"].items() if v}
+        print(f"{r['route_id']:>32}: {r['status']:<40} "
+              f"DS={r['scores']['score_composed']:6.1f} "
+              f"RC={r['scores']['score_route']:6.1f} {inf}")
+    summary = merge_route_results([out_path])
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

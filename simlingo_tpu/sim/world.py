@@ -1,0 +1,155 @@
+"""Microsim world: actors + map + the 20 Hz tick loop.
+
+Counterpart of the CARLA server's synchronous-mode tick as driven by the
+leaderboard (Bench2Drive/leaderboard/leaderboard/scenarios/scenario_manager.py
+_tick_scenario): advance dynamics, lights, and walkers one fixed timestep,
+then let criteria and agents observe the new state. Determinism: all
+randomness flows through the world's RandomState.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from simlingo_tpu.sim.actors import (Actor, TrafficLight, Vehicle, Walker,
+                                     static_prop)
+from simlingo_tpu.sim.map import SimMap
+from simlingo_tpu.utils.geometry import obb_intersect
+
+
+class SimWorld:
+    """Holds the map, all actors, and steps them synchronously."""
+
+    def __init__(self, sim_map: SimMap, dt: float = 0.05, seed: int = 0):
+        self.map = sim_map
+        self.dt = dt
+        self.rng = np.random.RandomState(seed)
+        self.time = 0.0
+        self.frame = 0
+        self.actors: List[Actor] = []
+        # opposite approaches share a phase; crossing roads alternate
+        # (spot ids 0/1 = one road, 2/3 = the crossing road)
+        self.lights: List[TrafficLight] = [
+            TrafficLight(spot, phase_offset=(0.0 if (spot.light_id // 2)
+                                             % 2 == 0 else 12.0))
+            for spot in sim_map.lights]
+        self.ego: Optional[Actor] = None
+
+    # -- spawning ------------------------------------------------------------
+    def spawn(self, actor: Actor) -> Actor:
+        self.actors.append(actor)
+        return actor
+
+    def spawn_ego(self, position, yaw=0.0, speed=0.0,
+                  type_id="vehicle.lincoln.mkz_2020") -> Actor:
+        self.ego = Actor(type_id=type_id, position=position, yaw=yaw,
+                         speed=speed, role="ego", color="17,37,103")
+        self.actors.append(self.ego)
+        return self.ego
+
+    def npcs(self) -> List[Actor]:
+        return [a for a in self.actors if a.role != "ego" and a.alive]
+
+    # -- stepping ------------------------------------------------------------
+    def apply_ego_control(self, steer: float, throttle: float,
+                          brake: float) -> None:
+        """Integrate the ego one tick with the agent's control."""
+        from simlingo_tpu.agent.ukf import bicycle_model_forward
+        e = self.ego
+        x = np.array([e.position[0], e.position[1], e.yaw, e.speed])
+        x = bicycle_model_forward(x, self.dt, float(steer), float(throttle),
+                                  bool(brake > 0.5))
+        e.position, e.yaw, e.speed = x[:2], float(x[2]), float(x[3])
+        e.control = (float(steer), float(throttle), float(brake))
+
+    def tick(self) -> None:
+        """Advance lights, NPC vehicles, and walkers one step."""
+        for light in self.lights:
+            light.tick(self.dt)
+        ego_pos = (self.ego.position if self.ego is not None
+                   else np.zeros(2))
+        for actor in self.actors:
+            if not actor.alive or actor.role == "ego":
+                continue
+            if (isinstance(actor, Vehicle) and actor.behavior == "parked"
+                    and actor.unblock_trigger_distance is not None):
+                if actor._unblock_at is None and np.linalg.norm(
+                        ego_pos - actor.position) \
+                        < actor.unblock_trigger_distance:
+                    actor._unblock_at = self.time + actor.unblock_delay
+                if actor._unblock_at is not None \
+                        and self.time >= actor._unblock_at:
+                    actor.behavior = "drive"
+            if isinstance(actor, Vehicle) and actor.behavior == "drive":
+                lead = self._leading(actor)
+                stop_at = self._stop_distance(actor)
+                actor.drive_tick(self.dt, lead, stop_at)
+            elif isinstance(actor, Walker):
+                actor.walk_tick(self.dt, ego_pos)
+        self.time += self.dt
+        self.frame += 1
+
+    def _leading(self, vehicle: Vehicle
+                 ) -> Optional[Tuple[float, float, float]]:
+        """Closest actor ahead within the vehicle's lane corridor."""
+        if vehicle.lane is None:
+            return None
+        s_self, _ = vehicle.lane.project(vehicle.position)
+        best = None
+        for other in self.actors:
+            if other is vehicle or not other.alive:
+                continue
+            s_o, lat_o = vehicle.lane.project(other.position)
+            if abs(lat_o) > vehicle.lane.width * 0.6:
+                continue
+            gap = s_o - s_self - vehicle.extent[0] - other.extent[0]
+            if 0.0 < gap < 60.0 and (best is None or gap < best[0]):
+                best = (gap, float(other.speed), float(other.extent[0]))
+        return best
+
+    def _stop_distance(self, vehicle: Vehicle) -> Optional[float]:
+        """Distance to a red/yellow stop line governing this vehicle."""
+        if vehicle.lane is None:
+            return None
+        s_self, _ = vehicle.lane.project(vehicle.position)
+        best = None
+        for light in self.lights:
+            if light.spot.lane_id != vehicle.lane.lane_id:
+                continue
+            if light.state == "green":
+                continue
+            s_line, _ = vehicle.lane.project(light.spot.position)
+            d = s_line - s_self - vehicle.extent[0]
+            if -1.0 < d < 50.0 and (best is None or d < best):
+                best = d
+        return best
+
+    # -- queries -------------------------------------------------------------
+    def collisions_with_ego(self) -> List[Actor]:
+        """All alive actors whose OBB intersects the ego's."""
+        e = self.ego
+        hits = []
+        for other in self.actors:
+            if other is e or not other.alive:
+                continue
+            if np.linalg.norm(other.position - e.position) > 8.0:
+                continue
+            if obb_intersect(e.position, e.yaw, e.extent,
+                             other.position, other.yaw, other.extent):
+                hits.append(other)
+        return hits
+
+    def light_for_lane(self, lane_id: int) -> Optional[TrafficLight]:
+        for light in self.lights:
+            if light.spot.lane_id == lane_id:
+                return light
+        return None
+
+    def actor_states(self) -> List[Dict]:
+        return [a.state_dict() for a in self.actors if a.alive]
+
+    def light_states(self) -> List[Dict]:
+        return [l.state_dict() for l in self.lights]

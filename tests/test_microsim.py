@@ -1,0 +1,355 @@
+"""Microsim: closed-loop world, scenarios, criteria, camera, collection.
+
+Covers the in-repo replacement for the CARLA/leaderboard evaluation loop
+(reference SURVEY.md L0): the privileged expert must drive every
+Bench2Drive scenario type clean, the criteria must detect infractions the
+way the leaderboard's atomic criteria do, and the result records must
+flow through eval/driving_score.py unchanged.
+"""
+
+import gzip
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from simlingo_tpu.sim import map as simmap
+from simlingo_tpu.sim.actors import Vehicle, Walker
+from simlingo_tpu.sim.camera import Camera
+from simlingo_tpu.sim.criteria import RouteCriteria
+from simlingo_tpu.sim.runner import (build_world, expert_factory,
+                                     model_factory, run_route, run_routes)
+from simlingo_tpu.sim.world import SimWorld
+
+
+# ---------------------------------------------------------------------------
+# map
+# ---------------------------------------------------------------------------
+
+def test_map_projection_and_neighbors():
+    town = simmap.straight_town(length=100.0, lanes_per_dir=2,
+                                parking_lane=True)
+    lane0 = town.lanes[0]
+    s, lat = lane0.project([10.0, -1.0])
+    assert abs(s - 10.0) < 0.6
+    assert abs(lat - 0.75) < 0.1          # lane 0 centre at y=-1.75
+    right = town.neighbor(lane0, "right")
+    assert right is not None and abs(right.center[0, 1] + 5.25) < 1e-6
+    # parking lane links to the outermost forward lane
+    parking = [l for l in town.lanes.values()
+               if l.lane_type == "parking"][0]
+    assert town.lanes[parking.left].lane_id == right.lane_id
+
+
+def test_crossing_town_junction_flag():
+    town = simmap.crossing_town()
+    assert town.in_junction([0.0, 0.0])
+    assert not town.in_junction([50.0, -1.75])
+    wp = town.waypoint([0.5, -1.75])
+    assert wp["is_junction"]
+
+
+# ---------------------------------------------------------------------------
+# world dynamics
+# ---------------------------------------------------------------------------
+
+def test_npc_follows_lane_and_idm_gaps():
+    town = simmap.straight_town(length=300.0, lanes_per_dir=1)
+    world = SimWorld(town)
+    lane = town.lanes[0]
+    world.spawn_ego([250.0, -1.75], yaw=0.0)   # far away, irrelevant
+    slow = world.spawn(Vehicle(lane.point_at_s(60.0), lane=lane,
+                               speed=2.0, target_speed=2.0))
+    fast = world.spawn(Vehicle(lane.point_at_s(20.0), lane=lane,
+                               speed=9.0, target_speed=9.0))
+    for _ in range(400):
+        world.tick()
+    # fast NPC must NOT rear-end the slow one: IDM holds a positive gap
+    gap = slow.position[0] - fast.position[0] \
+        - slow.extent[0] - fast.extent[0]
+    assert gap > 0.5, gap
+    # and it must stay on the lane
+    _, lat = lane.project(fast.position)
+    assert abs(lat) < 0.5
+
+
+def test_npc_stops_at_red_light():
+    town = simmap.crossing_town()
+    world = SimWorld(town)
+    world.spawn_ego([100.0, -1.75])
+    lane = town.lanes[2]                      # north-south approach
+    light = world.light_for_lane(2)
+    light.frozen = "red"
+    npc = world.spawn(Vehicle(lane.point_at_s(100.0), lane=lane,
+                              yaw=lane.yaw_at_s(100.0),
+                              speed=8.0, target_speed=8.0))
+    for _ in range(600):
+        world.tick()
+    s_npc, _ = lane.project(npc.position)
+    s_line, _ = lane.project(light.spot.position)
+    assert s_npc < s_line, "NPC must hold at the red stop line"
+    assert npc.speed < 0.5
+
+
+def test_walker_triggers_on_ego_approach():
+    town = simmap.straight_town(length=100.0)
+    world = SimWorld(town)
+    world.spawn_ego([0.0, -1.75], speed=5.0)
+    w = world.spawn(Walker([50.0, -8.0],
+                           path=np.array([[50.0, 2.0]]),
+                           trigger_distance=20.0))
+    world.tick()
+    assert not w.triggered
+    world.ego.position = np.array([35.0, -1.75])
+    for _ in range(40):
+        world.tick()
+    assert w.triggered and w.position[1] > -8.0
+
+
+# ---------------------------------------------------------------------------
+# expert closed loop over the scenario inventory
+# ---------------------------------------------------------------------------
+
+def _expert_spec(name, at_s, town="straight", end_s=220.0):
+    return {"town": town, "start_s": 5.0, "end_s": end_s,
+            "route_id": name,
+            "scenarios": [{"type": name, "at_s": at_s}] if name else []}
+
+
+def test_expert_completes_empty_route():
+    rec = run_route(_expert_spec(None, 0.0), expert_factory())
+    assert rec["status"] == "Completed"
+    assert rec["scores"]["score_composed"] == 100.0
+
+
+@pytest.mark.parametrize("name,at_s", [
+    ("Accident", 110.0),
+    ("AccidentTwoWays", 110.0),
+    ("ConstructionObstacle", 110.0),
+    ("ConstructionObstacleTwoWays", 110.0),
+    ("ParkedObstacle", 100.0),
+    ("ParkedObstacleTwoWays", 100.0),
+    ("VehicleOpensDoorTwoWays", 100.0),
+    ("HazardAtSideLane", 90.0),
+    ("HazardAtSideLaneTwoWays", 90.0),
+    ("YieldToEmergencyVehicle", 60.0),
+    ("CrossingBicycleFlow", 130.0),
+    ("BlockedIntersection", 120.0),
+    ("DynamicObjectCrossing", 120.0),
+])
+def test_expert_drives_scenario_clean(name, at_s):
+    rec = run_route(_expert_spec(name, at_s), expert_factory())
+    assert rec["status"] == "Completed", (name, rec["infractions"])
+    assert rec["scores"]["score_composed"] == 100.0, (
+        name, rec["infractions"])
+
+
+def test_expert_invading_turn_on_curve():
+    spec = {"town": "curved", "start_s": 5.0, "end_s": 240.0,
+            "route_id": "invading",
+            "scenarios": [{"type": "InvadingTurn", "at_s": 100.0}]}
+    rec = run_route(spec, expert_factory())
+    assert rec["status"] == "Completed", rec["infractions"]
+
+
+def test_expert_stops_at_red_light_crossing():
+    spec = {"town": "crossing", "start_s": 5.0, "end_s": 290.0,
+            "route_id": "lights"}
+    rec = run_route(spec, expert_factory())
+    assert rec["status"] == "Completed"
+    assert not rec["infractions"]["red_light"]
+
+
+# ---------------------------------------------------------------------------
+# criteria: infractions must fire for a bad agent
+# ---------------------------------------------------------------------------
+
+class _Scripted:
+    """Full throttle, straight ahead, never brakes."""
+
+    def __init__(self, throttle=0.75):
+        self.throttle = throttle
+
+    def step(self):
+        return 0.0, self.throttle, 0.0
+
+    def destroy(self, record=None):
+        pass
+
+
+def test_criteria_red_light_infraction():
+    spec = {"town": "crossing", "start_s": 100.0, "end_s": 290.0,
+            "route_id": "redrun"}
+    world, route, _ = build_world(spec)
+    for light in world.lights:
+        light.frozen = "red" if light.spot.lane_id == 0 else "green"
+    crit = RouteCriteria(world, route)
+    agent = _Scripted()
+    for _ in range(2000):
+        world.apply_ego_control(*agent.step())
+        world.tick()
+        crit.update()
+        if crit.finished:
+            break
+    rec = crit.record()
+    assert len(rec["infractions"]["red_light"]) == 1
+    assert rec["scores"]["score_penalty"] == pytest.approx(0.7)
+
+
+def test_criteria_collision_and_penalty():
+    spec = {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+            "route_id": "crash",
+            "scenarios": [{"type": "ParkedObstacle", "at_s": 60.0}]}
+    world, route, _ = build_world(spec)
+    crit = RouteCriteria(world, route)
+    agent = _Scripted()
+    for _ in range(1000):
+        world.apply_ego_control(*agent.step())
+        world.tick()
+        crit.update()
+        if crit.finished or crit.infractions["collisions_vehicle"]:
+            break
+    assert crit.infractions["collisions_vehicle"]
+    rec = crit.record()
+    assert rec["scores"]["score_penalty"] <= 0.6
+
+
+def test_criteria_blocked_and_timeout():
+    spec = {"town": "straight", "start_s": 5.0, "end_s": 100.0,
+            "route_id": "stuck"}
+    world, route, _ = build_world(spec)
+    crit = RouteCriteria(world, route)
+    for _ in range(int(95.0 / world.dt)):
+        world.apply_ego_control(0.0, 0.0, 1.0)
+        world.tick()
+        crit.update()
+        if crit.finished:
+            break
+    assert crit.finished == "Failed - Agent got blocked"
+
+
+def test_criteria_route_deviation():
+    spec = {"town": "straight", "start_s": 5.0, "end_s": 200.0,
+            "route_id": "dev"}
+    world, route, _ = build_world(spec)
+    crit = RouteCriteria(world, route)
+    world.ego.yaw = math.pi / 2            # drive straight off the road
+    for _ in range(1500):
+        world.apply_ego_control(0.0, 0.6, 0.0)
+        world.tick()
+        crit.update()
+        if crit.finished:
+            break
+    assert crit.finished == "Failed - Agent deviated from the route"
+    assert crit.record()["infractions"]["route_dev"]
+
+
+def test_records_flow_through_driving_score(tmp_path):
+    from simlingo_tpu.eval.driving_score import (merge_route_results,
+                                                 parse_results)
+    specs = [_expert_spec(None, 0.0, end_s=80.0)]
+    out = str(tmp_path / "microsim.json")
+    run_routes(specs, expert_factory(), out_path=out)
+    merged = merge_route_results([out])
+    assert merged["driving_score"] == 100.0
+    assert merged["success_rate"] == 100.0
+    parsed = parse_results([out])
+    assert parsed["totals"]["avg_route_completion"] == 100.0
+    assert parsed["totals"]["total_km"] > 0.05
+
+
+# ---------------------------------------------------------------------------
+# camera
+# ---------------------------------------------------------------------------
+
+def test_camera_semantics_match_geometry():
+    """The projected center of a known vehicle must land on VEHICLE-tagged
+    pixels, and the depth there must match its distance."""
+    from simlingo_tpu.sim.camera import SEM_ROAD, SEM_VEHICLE
+    town = simmap.straight_town(length=100.0)
+    world = SimWorld(town)
+    world.spawn_ego([10.0, -1.75], yaw=0.0)
+    world.spawn(Vehicle([25.0, -1.75], yaw=0.0))
+    cam = Camera()
+    out = cam.render(world, with_labels=True)
+    sem, depth = out["semantics"], out["depth"]
+    assert (sem == SEM_ROAD).sum() > 5000
+    ys, xs = np.nonzero(sem == SEM_VEHICLE)
+    assert len(ys) > 100
+    # the vehicle is straight ahead: its pixels straddle the image centre
+    assert xs.min() < 512 < xs.max()
+    d = depth[ys, xs]
+    assert abs(np.median(d) - 15.0) < 1.5
+
+
+def test_camera_light_color_tracks_state():
+    town = simmap.crossing_town()
+    world = SimWorld(town)
+    world.spawn_ego([-40.0, -1.75], yaw=0.0)
+    cam = Camera()
+    world.lights[0].frozen = "red"
+    red = cam.render(world)["rgb"].astype(int)
+    world.lights[0].frozen = "green"
+    green = cam.render(world)["rgb"].astype(int)
+    diff = np.abs(red - green).sum(-1)
+    assert (diff > 100).any(), "light head must change colour"
+
+
+# ---------------------------------------------------------------------------
+# data collection through the microsim
+# ---------------------------------------------------------------------------
+
+def test_expert_collection_writes_dataset_layout(tmp_path):
+    spec = {"town": "straight", "start_s": 5.0, "end_s": 60.0,
+            "route_id": "collect",
+            "scenarios": [{"type": "ParkedObstacle", "at_s": 40.0}]}
+    root = str(tmp_path / "micro_data")
+    rec = run_route(spec, expert_factory(save_root=root))
+    assert rec["status"] == "Completed"
+    route_dir = os.path.join(root, "route_000")
+    rgbs = sorted(os.listdir(os.path.join(route_dir, "rgb")))
+    assert len(rgbs) >= 5 and rgbs[0] == "0000.jpg"
+    with gzip.open(os.path.join(route_dir, "measurements",
+                                "0003.json.gz"), "rt") as f:
+        m = json.load(f)
+    for key in ("pos_global", "speed", "target_speed", "steer", "brake",
+                "route"):
+        assert key in m, key
+    assert os.path.exists(os.path.join(route_dir, "results.json.gz"))
+
+
+# ---------------------------------------------------------------------------
+# model-in-the-loop (tiny model)
+# ---------------------------------------------------------------------------
+
+def test_model_driver_closed_loop():
+    import jax
+    import jax.numpy as jnp
+    from simlingo_tpu.agent.agent import LingoAgent
+    from simlingo_tpu.agent.config import AgentConfig
+    from simlingo_tpu.data.tokenizer import SimLingoTokenizer
+    from simlingo_tpu.models import simlingo
+    from simlingo_tpu.models.qwen2 import Qwen2Config
+    from simlingo_tpu.models.simlingo import SimLingoConfig
+    from simlingo_tpu.models.vit import ViTConfig
+
+    tok = SimLingoTokenizer()
+    cfg = SimLingoConfig(
+        vit=ViTConfig(hidden_size=64, num_layers=2, num_heads=4,
+                      intermediate_size=128, image_size=448, patch_size=56,
+                      projector_out=64),
+        llm=Qwen2Config.tiny(vocab_size=tok.tk.vocab_size + 8),
+        img_context_token_id=tok.img_context_id,
+        remat_vision=False, remat_llm=False)
+    params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
+    acfg = AgentConfig(use_cot=False, initial_frames_delay=0)
+    agent = LingoAgent(params, cfg, acfg, tokenizer=tok,
+                       max_prompt_len=128, compute_dtype=jnp.float32)
+    spec = {"town": "straight", "start_s": 5.0, "end_s": 120.0,
+            "route_id": "model_loop"}
+    rec = run_route(spec, model_factory(agent), max_steps=8)
+    # an untrained model won't finish; the loop itself must run and score
+    assert rec["scores"]["score_route"] >= 0.0
+    assert rec["meta"]["duration_game"] == pytest.approx(8 * 0.05)
