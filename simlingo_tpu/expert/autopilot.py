@@ -196,7 +196,8 @@ class AutoPilot:
             self.longitudinal.throttle_extrapolation,
             ego_extent=self.EGO_EXTENT, cfg=self.forecast_cfg)
 
-        roles = {i: F.classify_route_position(obs.route, v["position"])
+        roles = {i: F.classify_route_position(obs.route, v["position"],
+                                              actor_yaw=v.get("yaw"))
                  for i, v in enumerate(vehicles)}
 
         def update_reduced(speed, actor, dist):

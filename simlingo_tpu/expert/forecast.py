@@ -227,21 +227,45 @@ def forecast_ego(route: np.ndarray, speed: float, target_speed: float,
 def classify_route_position(route: np.ndarray, actor_pos: np.ndarray,
                             lane_half_width: float = 1.75,
                             max_ahead_m: float = 80.0,
-                            points_per_meter: float = 10.0) -> Optional[str]:
-    """'leading' if the actor sits on the ego's route corridor ahead,
-    'rear' if behind the ego on its own axis, else None.
+                            points_per_meter: float = 10.0,
+                            actor_yaw: Optional[float] = None,
+                            max_leading_yaw_deg: float = 35.0,
+                            max_rear_yaw_deg: float = 30.0
+                            ) -> Optional[str]:
+    """'leading' if the actor sits on the ego's route corridor ahead AND is
+    aligned with it, 'rear' if behind the ego on its own axis, else None.
 
-    Reference computes this from lane topology
-    (privileged_route_planner compute_leading/trailing_vehicles); without map
-    access we use the dense route polyline, which is the same corridor.
+    Reference computes this from lane topology with a yaw-alignment gate
+    (privileged_route_planner.compute_leading_vehicles :806-833: route
+    distance < threshold AND yaw within 35 deg of the route direction --
+    so a vehicle CROSSING the future path is not mistaken for a leader;
+    compute_trailing_vehicles :862-884 uses 30 deg). Without map access we
+    use the dense route polyline, which is the same corridor.
+
+    actor_yaw: actor heading relative to the ego (radians); None skips the
+    alignment gate (legacy callers).
     """
     route = np.asarray(route, float)
     pos = np.asarray(actor_pos, float)[:2]
     n_ahead = min(len(route), int(max_ahead_m * points_per_meter))
     if n_ahead >= 1:
         d = np.linalg.norm(route[:n_ahead] - pos[None], axis=1)
-        if d.min() < lane_half_width and pos[0] > 0.0:
-            return "leading"
+        j = int(np.argmin(d))
+        if d[j] < lane_half_width and pos[0] > 0.0:
+            if actor_yaw is None:
+                return "leading"
+            k = min(j, n_ahead - 2)
+            tang = route[k + 1] - route[k]
+            route_yaw = float(np.arctan2(tang[1], tang[0]))
+            diff = abs((actor_yaw - route_yaw + np.pi)
+                       % (2 * np.pi) - np.pi)
+            if np.degrees(diff) < max_leading_yaw_deg:
+                return "leading"
+            return None
     if pos[0] < 0.0 and abs(pos[1]) < lane_half_width:
+        if actor_yaw is not None:
+            diff = abs((actor_yaw + np.pi) % (2 * np.pi) - np.pi)
+            if np.degrees(diff) >= max_rear_yaw_deg:
+                return None
         return "rear"
     return None

@@ -131,6 +131,9 @@ class PrivilegedRoutePlanner:
     route + original (pre-modification) route for the measurement schema.
     """
 
+    # CARLA RoadOption ids (data/measurements.COMMAND_MAP)
+    LANEFOLLOW, CHANGELANELEFT, CHANGELANERIGHT = 4, 5, 6
+
     def __init__(self, spacing: float = 0.1, search_window_m: float = 30.0):
         self.spacing = spacing
         self.search_window = max(int(search_window_m / spacing), 2)
@@ -141,33 +144,114 @@ class PrivilegedRoutePlanner:
         self.changed_route = False
 
     def set_route(self, sparse_points: np.ndarray,
-                  command: int = 4) -> None:
-        self.route = densify_route(sparse_points, self.spacing)
+                  command: int = 4,
+                  start_xy: Optional[Sequence[float]] = None,
+                  parking_exit: bool = False,
+                  extend_m: float = 0.0) -> None:
+        """parking_exit: the global plan's first waypoint sits on the road
+        center while the vehicle starts in a parking lane (reference
+        setup_route starts_with_parking_exit workaround,
+        privileged_route_planner.py:428-433): prepend the vehicle position
+        and command the merge as a lane change. extend_m: extrapolate the
+        route `extend_m` metres past the goal so progress indexing never
+        clamps at the end (reference extra_route_length :445-452)."""
+        sparse = np.asarray(sparse_points, float)[:, :2]
+        lead_cmds = 0
+        if parking_exit and start_xy is not None:
+            start = np.asarray(start_xy, float)[None, :2]
+            sparse = np.concatenate([start, sparse], 0)
+            lead_cmds = 1
+        if extend_m > 0.0 and len(sparse) >= 2:
+            tail = sparse[-1] - sparse[-2]
+            tail = tail / max(np.linalg.norm(tail), 1e-9)
+            sparse = np.concatenate(
+                [sparse, (sparse[-1] + tail * extend_m)[None]], 0)
+        self.route = densify_route(sparse, self.spacing)
         self.route_original = self.route.copy()
         self.commands = [command] * len(self.route)
+        if lead_cmds:
+            # merge out of the parking lane: CHANGELANELEFT until back on
+            # the planned route (first ~15 m)
+            n = min(int(15.0 / self.spacing), len(self.commands))
+            self.commands[:n] = [self.CHANGELANELEFT] * n
         self.idx = 0
         self.changed_route = False
 
     # -- modifications ----------------------------------------------------
+    def _write_commands(self, start: int, end: int, command: int) -> None:
+        start = int(np.clip(start, 0, len(self.commands)))
+        end = int(np.clip(end, start, len(self.commands)))
+        self.commands[start:end] = [command] * (end - start)
+
     def request_lane_change(self, direction: str, lane_width: float = 3.5,
                             transition_length: float = 25.0,
-                            at_distance: float = 0.0) -> None:
-        """direction in {'left','right'}; applied `at_distance` m ahead."""
+                            at_distance: float = 0.0,
+                            lane_widths: Optional[np.ndarray] = None,
+                            min_lane_width: float = 2.5) -> None:
+        """direction in {'left','right'}; applied `at_distance` m ahead.
+
+        lane_widths: optional per-route-point width of the TARGET lane; if
+        given, the transition is deferred until the lane is at least
+        `min_lane_width` wide for its whole length (reference
+        prevent_too_early_lane_changes, privileged_route_planner.py:558-589
+        -- forming lanes must not be entered while still too narrow)."""
         shift = lane_width if direction == "left" else -lane_width
         start = self.idx + int(at_distance / self.spacing)
+        trans = max(int(round(transition_length / self.spacing)), 1)
+        if lane_widths is not None:
+            widths = np.asarray(lane_widths, float)
+            while start + trans < len(widths) and \
+                    (widths[start:start + trans] < min_lane_width).any():
+                start += 1
         self.route = plan_lane_change(self.route, start, shift,
                                       transition_length, None,
                                       spacing=self.spacing)
+        self._write_commands(start, start + trans,
+                             self.CHANGELANELEFT if direction == "left"
+                             else self.CHANGELANERIGHT)
         self.changed_route = True
 
     def add_obstacle(self, obstacle_xy: Sequence[float],
                      clearance: float = 2.5,
-                     obstacle_extent: float = 3.0) -> bool:
+                     obstacle_extent: float = 3.0,
+                     transition_length: float = 15.0) -> bool:
+        before = self.route
         self.route, changed = plan_obstacle_bypass(
             self.route, obstacle_xy, clearance, obstacle_extent,
-            spacing=self.spacing)
+            transition_length, spacing=self.spacing)
+        if changed:
+            # mark the transition ramps as lane-change commands (reference
+            # shift_route_smoothly writes CHANGELANELEFT/RIGHT, :256-270)
+            dev = np.einsum(
+                "ij,ij->i", self.route - before, route_normals(before))
+            moving = np.abs(dev) > 0.05
+            if moving.any():
+                i0 = int(np.argmax(moving))
+                i1 = len(moving) - int(np.argmax(moving[::-1]))
+                trans = max(int(round(transition_length / self.spacing)), 1)
+                left_in = dev[min(i0 + trans, len(dev) - 1)] > 0
+                self._write_commands(
+                    i0, min(i0 + trans, i1),
+                    self.CHANGELANELEFT if left_in
+                    else self.CHANGELANERIGHT)
+                self._write_commands(
+                    max(i1 - trans, i0), i1,
+                    self.CHANGELANERIGHT if left_in
+                    else self.CHANGELANELEFT)
         self.changed_route = self.changed_route or changed
         return changed
+
+    def near_lane_change(self, behind_m: float = 20.0,
+                         ahead_m: float = 40.0) -> bool:
+        """Is a lane change commanded near the current position? Drives
+        the expert's longer forecast horizon and stricter rear-vehicle
+        handling (reference compute_trailing_vehicles :854-859 scans the
+        recent command window)."""
+        lo = max(self.idx - int(behind_m / self.spacing), 0)
+        hi = min(self.idx + int(ahead_m / self.spacing),
+                 len(self.commands))
+        return any(c in (self.CHANGELANELEFT, self.CHANGELANERIGHT)
+                   for c in self.commands[lo:hi])
 
     def index_of(self, point_xy: Sequence[float]) -> int:
         """Route index closest to a global point (full-route search)."""
@@ -193,6 +277,12 @@ class PrivilegedRoutePlanner:
             to_idx - from_idx, trans)
         self.route = self.route \
             + (lateral_shift * prof)[:, None] * route_normals(self.route)
+        into = (self.CHANGELANELEFT if lateral_shift > 0
+                else self.CHANGELANERIGHT)
+        back = (self.CHANGELANERIGHT if lateral_shift > 0
+                else self.CHANGELANELEFT)
+        self._write_commands(start, from_idx, into)
+        self._write_commands(to_idx, to_idx + trans, back)
         self.changed_route = True
 
     # -- stepping ----------------------------------------------------------

@@ -193,6 +193,8 @@ class ExpertDriver:
             light_distance=light_distance,
             stop_sign_distance=stop_distance, stop_sign_id=stop_id,
             junction=bool(wp["is_junction"]),
+            command=int(inp["command"]),
+            near_lane_change=self.planner.near_lane_change(),
             changed_route=inp["changed_route"])
         if self.collector is not None:
             frames = self.camera.render(world)

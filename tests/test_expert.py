@@ -359,3 +359,106 @@ def test_fitted_longitudinal_regression_controller():
     # extrapolation is throttle-only and hazard-free
     assert c.throttle_extrapolation(8.0, 2.0) == 1.0
     assert c.throttle_extrapolation(0.0, 8.0) == 0.0
+
+
+def test_planner_commands_during_lane_change_and_near_flag():
+    """Shift operations must write CHANGELANE commands into the command
+    array (reference shift_route_smoothly :256-270) and near_lane_change
+    must detect them in the ego window (compute_trailing_vehicles
+    :854-859)."""
+    from simlingo_tpu.expert.route_planner import PrivilegedRoutePlanner
+
+    p = PrivilegedRoutePlanner()
+    p.set_route(np.stack([np.arange(0.0, 200.0, 5.0),
+                          np.zeros(40)], 1))
+    assert not p.near_lane_change()
+    p.request_lane_change("left", at_distance=30.0)
+    cmds = np.asarray(p.commands)
+    assert (cmds == p.CHANGELANELEFT).any()
+    # transition zone sits ~30 m ahead: command window flags it
+    assert p.near_lane_change(ahead_m=60.0)
+    p.run_step([100.0, 3.5])
+    assert p.commands[p.idx] == p.LANEFOLLOW  # past the transition
+
+
+def test_planner_bypass_writes_both_ramps():
+    from simlingo_tpu.expert.route_planner import PrivilegedRoutePlanner
+
+    p = PrivilegedRoutePlanner()
+    p.set_route(np.stack([np.arange(0.0, 200.0, 5.0), np.zeros(40)], 1))
+    assert p.add_obstacle([100.0, 0.0])
+    cmds = np.asarray(p.commands)
+    i_left = np.nonzero(cmds == p.CHANGELANELEFT)[0]
+    i_right = np.nonzero(cmds == p.CHANGELANERIGHT)[0]
+    assert len(i_left) and len(i_right)
+    # out-ramp and back-ramp are opposite commands, in disjoint spans
+    first, second = ((i_left, i_right) if i_left.max() < i_right.min()
+                     else (i_right, i_left))
+    assert first.max() < second.min()
+    # the shift direction matches the out-ramp command
+    dev = p.route[:, 1] - p.route_original[:, 1]
+    out_left = cmds[first[0]] == p.CHANGELANELEFT
+    assert (dev[first[-1]] > 0) == out_left
+
+
+def test_planner_defers_lane_change_while_lane_narrow():
+    """reference prevent_too_early_lane_changes (:558-589): with a target
+    lane still forming (< 2.5 m wide), the transition start moves to the
+    first index where the lane is wide enough."""
+    from simlingo_tpu.expert.route_planner import PrivilegedRoutePlanner
+
+    p = PrivilegedRoutePlanner()
+    p.set_route(np.stack([np.arange(0.0, 200.0, 5.0), np.zeros(40)], 1))
+    n = len(p.route)
+    widths = np.full(n, 3.5)
+    narrow_until = int(60.0 / p.spacing)
+    widths[:narrow_until] = 1.0
+    p.request_lane_change("left", at_distance=10.0, lane_widths=widths,
+                          transition_length=20.0)
+    dev = np.abs(p.route[:, 1])
+    first_moved = int(np.argmax(dev > 0.05))
+    assert first_moved >= narrow_until
+
+
+def test_planner_parking_exit_start():
+    """reference setup_route starts_with_parking_exit (:428-433): the
+    vehicle position (in the parking lane) is prepended and the merge is
+    commanded as a lane change."""
+    from simlingo_tpu.expert.route_planner import PrivilegedRoutePlanner
+
+    p = PrivilegedRoutePlanner()
+    sparse = np.stack([np.arange(0.0, 100.0, 5.0), np.zeros(20)], 1)
+    p.set_route(sparse, start_xy=[0.0, -3.5], parking_exit=True)
+    assert p.commands[0] == p.CHANGELANELEFT
+    # route begins at the vehicle, not the plan's first waypoint
+    assert abs(p.route[0, 1] + 3.5) < 0.2
+    inp = p.ego_inputs([0.0, -3.5], 0.0)
+    assert inp["command"] == p.CHANGELANELEFT
+
+
+def test_planner_route_extension_past_goal():
+    from simlingo_tpu.expert.route_planner import PrivilegedRoutePlanner
+
+    p = PrivilegedRoutePlanner()
+    sparse = np.stack([np.arange(0.0, 100.0, 5.0), np.zeros(20)], 1)
+    p.set_route(sparse, extend_m=30.0)
+    assert p.route[-1, 0] > 120.0
+
+
+def test_leading_classification_rejects_crossing_vehicle():
+    """reference compute_leading_vehicles yaw gate (35 deg, :822-831): a
+    vehicle ON the future path but crossing it must not be a leader."""
+    from simlingo_tpu.expert import forecast as F
+
+    route = np.stack([np.arange(0.1, 60.0, 0.1),
+                      np.zeros(599)], 1)
+    on_path = np.array([20.0, 0.0])
+    assert F.classify_route_position(route, on_path,
+                                     actor_yaw=0.1) == "leading"
+    assert F.classify_route_position(route, on_path,
+                                     actor_yaw=np.pi / 2) is None
+    # rear alignment gate (30 deg)
+    assert F.classify_route_position(route, [-8.0, 0.3],
+                                     actor_yaw=0.0) == "rear"
+    assert F.classify_route_position(route, [-8.0, 0.3],
+                                     actor_yaw=2.5) is None
