@@ -40,9 +40,37 @@ def main():
     ap.add_argument("--base-port", type=int, default=2000)
     ap.add_argument("--slurm", action="store_true")
     ap.add_argument("--labels-only", action="store_true")
+    ap.add_argument("--microsim", action="store_true",
+                    help="collect with the in-repo microsim (no CARLA): "
+                         "one babysat job per MicroBench route")
     args = ap.parse_args()
 
-    if not args.labels_only:
+    if args.microsim and not args.labels_only:
+        from simlingo_tpu.orchestration.babysitter import (Babysitter, Job,
+                                                           LocalBackend)
+        from simlingo_tpu.sim.suite import MICROBENCH
+        collect_root = os.path.join(args.save_root, "data", "simlingo",
+                                    "v1", "micro", "routes_training")
+        log_dir = os.path.join(args.save_root, "logs")
+        result_dir = os.path.join(args.save_root, "microsim_results")
+        os.makedirs(result_dir, exist_ok=True)
+        jobs = []
+        for spec in MICROBENCH:
+            rid = spec["route_id"]
+            done = os.path.join(collect_root, f"Town12_{rid}",
+                                "results.json.gz")
+            cmd = ["python", "-m", "simlingo_tpu.sim.suite",
+                   "--agent", "expert", "--routes", rid,
+                   "--collect", collect_root,
+                   "--out", os.path.join(result_dir, f"{rid}.json")]
+            jobs.append(Job(name=rid, cmd=cmd, done_file=done,
+                            log_path=os.path.join(log_dir, f"{rid}.log")))
+        sitter = Babysitter(jobs, LocalBackend(),
+                            max_jobs_file="max_num_jobs.txt",
+                            max_concurrent=args.max_jobs)
+        counts = sitter.run(progress=lambda c: print(c, flush=True))
+        print("microsim collection jobs:", counts)
+    elif not args.labels_only:
         assert args.routes_dir, "--routes-dir required unless --labels-only"
         from simlingo_tpu.orchestration.babysitter import (Babysitter, Job,
                                                            LocalBackend,

@@ -169,6 +169,48 @@ class ExpertDriver:
                 return max(d, 0.0), stop.sign_id
         return None, None
 
+    def _traffic_boxes(self) -> List[Dict]:
+        """Traffic-light / stop-sign boxes for the label generators
+        (reference data_agent get_bounding_boxes adds traffic_light and
+        stop_sign entries with affects_ego + state)."""
+        from simlingo_tpu.utils.geometry import inverse_conversion_2d
+        ego = self.world.ego
+        lane = self.world.map.closest_lane(ego.position)
+        s_ego, _ = lane.project(ego.position)
+        out: List[Dict] = []
+        for light in self.world.lights:
+            rel = inverse_conversion_2d(light.spot.position, ego.position,
+                                        ego.yaw)
+            if np.linalg.norm(rel) >= 60:
+                continue
+            same = light.spot.lane_id == lane.lane_id
+            s_line, _ = lane.project(light.spot.position)
+            out.append({
+                "class": "traffic_light",
+                "type_id": "traffic.traffic_light",
+                "position": rel.tolist(),
+                "yaw": float(light.spot.yaw - ego.yaw),
+                "extent": [1.5, 6.0], "id": 10000 + light.spot.light_id,
+                "state": light.state,
+                "affects_ego": bool(same and -2.0 < s_line - s_ego < 45.0),
+            })
+        for stop in self.world.map.stops:
+            rel = inverse_conversion_2d(stop.position, ego.position,
+                                        ego.yaw)
+            if np.linalg.norm(rel) >= 60:
+                continue
+            same = stop.lane_id == lane.lane_id
+            s_stop, _ = lane.project(stop.position)
+            out.append({
+                "class": "stop_sign", "type_id": "traffic.stop",
+                "position": rel.tolist(),
+                "yaw": float(stop.yaw - ego.yaw),
+                "extent": list(stop.trigger_extent),
+                "id": 20000 + stop.sign_id,
+                "affects_ego": bool(same and -2.0 < s_stop - s_ego < 40.0),
+            })
+        return out
+
     def step(self) -> Tuple[float, float, float]:
         from simlingo_tpu.expert.autopilot import ExpertObservation
 
@@ -199,10 +241,11 @@ class ExpertDriver:
         if self.collector is not None:
             frames = self.camera.render(world)
             lane_info = self._lane_info(wp)
+            boxes = (actors + self._traffic_boxes()
+                     + [dict(lane_info, **{"class": "ego_info"})])
             out = self.collector.tick(
                 obs, rgb=frames["rgb"], rgb_augmented=frames["rgb"],
-                boxes=actors + [dict(lane_info, **{"class": "ego_info"})],
-                scenario_result=scenario_result,
+                boxes=boxes, scenario_result=scenario_result,
                 extra_measurements=lane_info)
         else:
             out = self.expert.tick(obs, scenario_result=scenario_result)

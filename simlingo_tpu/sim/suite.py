@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 from typing import Dict, List, Optional
 
 MICROBENCH: List[Dict] = [
@@ -141,15 +142,30 @@ def main(argv=None) -> Dict:
         wanted = set(args.routes.split(","))
         specs = [s for s in specs if s["route_id"] in wanted
                  or any(w in s["route_id"] for w in wanted)]
-    if args.agent == "expert":
-        factory = expert_factory(save_root=args.collect)
-    else:
-        agent = load_model_agent(args.checkpoint,
-                                 tiny=args.agent == "tiny-model")
-        factory = model_factory(agent)
-
     out_path = args.out or "microbench_results.json"
-    checkpoint = run_routes(specs, factory, out_path=out_path)
+    if args.agent == "expert" and args.collect:
+        # collection: one dataset dir per route, named for the training
+        # pipeline's layout (data/simlingo/*/*/routes_training/Town*)
+        from simlingo_tpu.sim.runner import run_route
+        records = []
+        for i, spec in enumerate(specs):
+            factory = expert_factory(
+                save_root=args.collect,
+                dir_name_fmt=f"Town12_{spec['route_id']}")
+            records.append(run_route(spec, factory, seed=i,
+                                     max_steps=args.max_steps))
+        checkpoint = {"_checkpoint": {"records": records}}
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(checkpoint, f, indent=1)
+    else:
+        if args.agent == "expert":
+            factory = expert_factory()
+        else:
+            agent = load_model_agent(args.checkpoint,
+                                     tiny=args.agent == "tiny-model")
+            factory = model_factory(agent)
+        checkpoint = run_routes(specs, factory, out_path=out_path)
     records = checkpoint["_checkpoint"]["records"]
     for r in records:
         inf = {k: len(v) for k, v in r["infractions"].items() if v}

@@ -18,8 +18,8 @@ import os
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--routes-dir", required=True,
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--routes-dir", default=None,
                     help="directory of per-route .xml files (bench2drive_split)")
     ap.add_argument("--leaderboard", default="leaderboard/leaderboard/leaderboard_evaluator.py")
     ap.add_argument("--carla-root", default=os.environ.get("CARLA_ROOT", ""))
@@ -28,6 +28,12 @@ def main():
     ap.add_argument("--base-port", type=int, default=2000)
     ap.add_argument("--slurm", action="store_true")
     ap.add_argument("--max-retries", type=int, default=3)
+    ap.add_argument("--microsim", action="store_true",
+                    help="evaluate in the in-repo microsim (no CARLA): one "
+                         "babysat MicroBench route per job")
+    ap.add_argument("--agent-kind", default="model",
+                    choices=("model", "tiny-model", "expert"),
+                    help="microsim agent (tiny-model/expert for smokes)")
     args = ap.parse_args()
 
     from simlingo_tpu.eval.driving_score import merge_route_dir
@@ -35,25 +41,44 @@ def main():
                                                        LocalBackend,
                                                        SlurmBackend)
 
-    routes = sorted(glob.glob(os.path.join(args.routes_dir, "*.xml")))
     os.makedirs(args.output_dir, exist_ok=True)
     jobs = []
-    for i, route in enumerate(routes):
-        name = os.path.splitext(os.path.basename(route))[0]
-        result = os.path.join(args.output_dir, f"{name}.json")
-        port = args.base_port + 10 * (i % max(args.max_jobs, 1))
-        cmd = [
-            "python", args.leaderboard,
-            f"--routes={route}",
-            "--agent=simlingo_tpu/agent/carla_agent.py",
-            f"--agent-config={args.checkpoint}",
-            f"--checkpoint={result}",
-            f"--port={port}",
-            f"--traffic-manager-port={port + 6000}",
-        ]
-        jobs.append(Job(name=name, cmd=cmd,
-                        log_path=os.path.join(args.output_dir, f"{name}.log"),
-                        done_file=result, max_retries=args.max_retries))
+    if args.microsim:
+        from simlingo_tpu.sim.suite import MICROBENCH
+        for spec in MICROBENCH:
+            name = spec["route_id"]
+            result = os.path.join(args.output_dir, f"{name}.json")
+            cmd = ["python", "-m", "simlingo_tpu.sim.suite",
+                   "--agent", args.agent_kind, "--routes", name,
+                   "--out", result]
+            if args.agent_kind == "model":
+                cmd += ["--checkpoint", args.checkpoint]
+            jobs.append(Job(name=name, cmd=cmd,
+                            log_path=os.path.join(args.output_dir,
+                                                  f"{name}.log"),
+                            done_file=result,
+                            max_retries=args.max_retries))
+    else:
+        assert args.routes_dir and args.checkpoint, \
+            "--routes-dir and --checkpoint required without --microsim"
+        routes = sorted(glob.glob(os.path.join(args.routes_dir, "*.xml")))
+        for i, route in enumerate(routes):
+            name = os.path.splitext(os.path.basename(route))[0]
+            result = os.path.join(args.output_dir, f"{name}.json")
+            port = args.base_port + 10 * (i % max(args.max_jobs, 1))
+            cmd = [
+                "python", args.leaderboard,
+                f"--routes={route}",
+                "--agent=simlingo_tpu/agent/carla_agent.py",
+                f"--agent-config={args.checkpoint}",
+                f"--checkpoint={result}",
+                f"--port={port}",
+                f"--traffic-manager-port={port + 6000}",
+            ]
+            jobs.append(Job(name=name, cmd=cmd,
+                            log_path=os.path.join(args.output_dir,
+                                                  f"{name}.log"),
+                            done_file=result, max_retries=args.max_retries))
 
     backend = SlurmBackend() if args.slurm else LocalBackend()
     sitter = Babysitter(jobs, backend, max_jobs_file="max_num_jobs.txt",
