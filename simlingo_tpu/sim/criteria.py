@@ -104,7 +104,8 @@ class RouteCriteria:
             self.infractions[kind].append(
                 f"Agent collided against object with type={other.type_id} "
                 f"and id={other.actor_id} at (x={other.position[0]:.3f}, "
-                f"y={other.position[1]:.3f}, z=0.0)")
+                f"y={other.position[1]:.3f}, z=0.0) "
+                f"at Frame: {world.frame}")
 
         # red light: ego's front axle crosses the stop line while red
         lane = world.map.closest_lane(ego.position)
@@ -123,7 +124,8 @@ class RouteCriteria:
                     self.infractions["red_light"].append(
                         f"Agent ran a red light {light.spot.light_id} at "
                         f"(x={light.spot.position[0]:.3f}, "
-                        f"y={light.spot.position[1]:.3f}, z=0.0)")
+                        f"y={light.spot.position[1]:.3f}, z=0.0) "
+                        f"at Frame: {world.frame}")
 
         # stop sign: must come (nearly) to rest inside the trigger area
         for stop in world.map.stops:
@@ -142,7 +144,8 @@ class RouteCriteria:
                     self.infractions["stop_infraction"].append(
                         f"Agent ran a stop with id={sid} at "
                         f"(x={stop.position[0]:.3f}, "
-                        f"y={stop.position[1]:.3f}, z=0.0)")
+                        f"y={stop.position[1]:.3f}, z=0.0) "
+                        f"at Frame: {world.frame}")
 
         # outside driving lanes (meters driven while off driving lanes)
         if self._last_pos is not None:
@@ -162,7 +165,8 @@ class RouteCriteria:
         if d_route > self.DEVIATION_MAX:
             self.infractions["route_dev"].append(
                 f"Agent deviated from the route at (x={ego.position[0]:.3f},"
-                f" y={ego.position[1]:.3f}, z=0.0)")
+                f" y={ego.position[1]:.3f}, z=0.0) "
+                f"at Frame: {world.frame}")
             self.finished = "Failed - Agent deviated from the route"
             return
 
@@ -173,7 +177,8 @@ class RouteCriteria:
             elif world.time - self._blocked_since > self.BLOCKED_MAX_TIME:
                 self.infractions["vehicle_blocked"].append(
                     f"Agent got blocked at (x={ego.position[0]:.3f}, "
-                    f"y={ego.position[1]:.3f}, z=0.0)")
+                    f"y={ego.position[1]:.3f}, z=0.0) "
+                    f"at Frame: {world.frame}")
                 self.finished = "Failed - Agent got blocked"
                 return
         else:

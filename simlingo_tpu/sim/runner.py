@@ -327,6 +327,34 @@ class ModelDriver:
         pass
 
 
+class ReplayRecorder:
+    """on_tick hook feeding the ScenarioLogger so microsim runs can be
+    replay-rendered + GIF'd on infractions (agent/scenario_logger.py
+    render_replay_frames / make_infraction_gifs -- the same records the
+    CARLA plugin writes via SIMLINGO_RECORD_DIR)."""
+
+    def __init__(self, save_path: str, route: np.ndarray,
+                 log_every_n: int = 1):
+        from simlingo_tpu.agent.scenario_logger import ScenarioLogger
+        self.logger = ScenarioLogger(save_path=save_path, route_index="0",
+                                     log_every_n=log_every_n)
+        self.logger.set_route(np.asarray(route, float))
+
+    def __call__(self, world: SimWorld, criteria) -> None:
+        ego = world.ego
+        self.logger.log(
+            ego.state_dict(),
+            actors=[a.state_dict() for a in world.actors
+                    if a is not ego and a.alive],
+            lights=[l.state_dict() for l in world.lights],
+            control={"steer": ego.control[0], "throttle": ego.control[1],
+                     "brake": ego.control[2]})
+
+    def dump(self, record: Optional[Dict] = None) -> Optional[str]:
+        return self.logger.dump(
+            infractions=record.get("infractions") if record else None)
+
+
 # ---------------------------------------------------------------------------
 # Route loop
 # ---------------------------------------------------------------------------
@@ -336,11 +364,26 @@ def run_route(spec: Dict,
                                         List[Dict]], object],
               max_steps: Optional[int] = None,
               seed: int = 0,
-              on_tick: Optional[Callable] = None) -> Dict:
-    """Run one route closed-loop; returns the leaderboard record."""
+              on_tick: Optional[Callable] = None,
+              record_dir: Optional[str] = None) -> Dict:
+    """Run one route closed-loop; returns the leaderboard record.
+
+    record_dir: write a ScenarioLogger record (records.json.gz) for
+    post-hoc replay rendering / infraction GIFs."""
     world, route, scen_records = build_world(spec, seed=seed)
     criteria = RouteCriteria(world, route,
                              timeout=spec.get("timeout"))
+    recorder = None
+    if record_dir is not None:
+        recorder = ReplayRecorder(
+            os.path.join(record_dir, spec.get("route_id", "micro_0")),
+            route)
+        user_tick = on_tick
+
+        def on_tick(w, c, _user=user_tick):
+            recorder(w, c)
+            if _user is not None:
+                _user(w, c)
     driver = driver_factory(world, route, scen_records)
     t0 = time.time()
     steps = max_steps if max_steps is not None else int(
@@ -361,6 +404,8 @@ def run_route(spec: Dict,
                                  wall_time=time.time() - t0)
     finally:
         driver.destroy(record)
+        if recorder is not None:
+            recorder.dump(record)
     return record
 
 

@@ -135,6 +135,10 @@ def main(argv=None) -> Dict:
     ap.add_argument("--routes", default=None,
                     help="comma-separated route_id filter")
     ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--record", default=None,
+                    help="dir for per-route replay records "
+                         "(scenario_logger render_replay_frames / "
+                         "make_infraction_gifs input)")
     args = ap.parse_args(argv)
 
     specs = MICROBENCH
@@ -153,7 +157,8 @@ def main(argv=None) -> Dict:
                 save_root=args.collect,
                 dir_name_fmt=f"Town12_{spec['route_id']}")
             records.append(run_route(spec, factory, seed=i,
-                                     max_steps=args.max_steps))
+                                     max_steps=args.max_steps,
+                                     record_dir=args.record))
         checkpoint = {"_checkpoint": {"records": records}}
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         with open(out_path, "w") as f:
@@ -165,7 +170,18 @@ def main(argv=None) -> Dict:
             agent = load_model_agent(args.checkpoint,
                                      tiny=args.agent == "tiny-model")
             factory = model_factory(agent)
-        checkpoint = run_routes(specs, factory, out_path=out_path)
+        if args.record:
+            from simlingo_tpu.sim.runner import run_route
+            records = [run_route(s, factory, seed=i,
+                                 max_steps=args.max_steps,
+                                 record_dir=args.record)
+                       for i, s in enumerate(specs)]
+            checkpoint = {"_checkpoint": {"records": records}}
+            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+            with open(out_path, "w") as f:
+                json.dump(checkpoint, f, indent=1)
+        else:
+            checkpoint = run_routes(specs, factory, out_path=out_path)
     records = checkpoint["_checkpoint"]["records"]
     for r in records:
         inf = {k: len(v) for k, v in r["infractions"].items() if v}

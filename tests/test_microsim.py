@@ -353,3 +353,33 @@ def test_model_driver_closed_loop():
     # an untrained model won't finish; the loop itself must run and score
     assert rec["scores"]["score_route"] >= 0.0
     assert rec["meta"]["duration_game"] == pytest.approx(8 * 0.05)
+
+
+def test_replay_recording_and_gif_from_microsim_run(tmp_path):
+    """A recorded microsim run (bad agent -> collision) must replay to
+    BEV frames and produce an infraction GIF (the round-2 replay tooling
+    driven end-to-end by the in-repo simulator)."""
+    import json as _json
+
+    from simlingo_tpu.agent.scenario_logger import (make_infraction_gifs,
+                                                    render_replay_frames)
+    from simlingo_tpu.sim.runner import run_route
+
+    spec = {"town": "straight", "start_s": 5.0, "end_s": 150.0,
+            "route_id": "crash_rec",
+            "scenarios": [{"type": "ParkedObstacle", "at_s": 60.0}]}
+    rec_dir = str(tmp_path / "records")
+    rec = run_route(spec, lambda w, r, s: _Scripted(), max_steps=700,
+                    record_dir=rec_dir)
+    assert rec["infractions"]["collisions_vehicle"]
+    rec_path = os.path.join(rec_dir, "crash_rec", "records.json.gz")
+    assert os.path.exists(rec_path)
+    frames_dir = str(tmp_path / "frames")
+    frames = render_replay_frames(rec_path, frames_dir, every_n=8)
+    assert len(frames) >= 5
+    res_path = str(tmp_path / "result.json")
+    with open(res_path, "w") as f:
+        _json.dump({"_checkpoint": {"records": [rec]}}, f)
+    gifs = make_infraction_gifs(res_path, frames_dir,
+                                str(tmp_path / "gifs"))
+    assert gifs
