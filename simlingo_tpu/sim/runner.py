@@ -298,7 +298,12 @@ class ModelDriver:
 
     def __init__(self, agent, world: SimWorld, route: np.ndarray,
                  camera: Optional[Camera] = None,
-                 tp_distances: Tuple[float, float] = (30.0, 60.0)):
+                 tp_distances: Tuple[float, float] = (30.0, 60.0),
+                 gps_noise_std: float = 0.0,
+                 compass_noise_std: float = 0.0):
+        """gps_noise_std / compass_noise_std: corrupt the ego state like
+        real GNSS/IMU so the agent's UKF path (LingoAgent.filter_ego_state,
+        reference agent_simlingo.py:507-529) is exercised closed-loop."""
         from simlingo_tpu.expert.route_planner import PrivilegedRoutePlanner
         self.agent = agent
         self.world = world
@@ -306,19 +311,27 @@ class ModelDriver:
         self.planner = PrivilegedRoutePlanner()
         self.planner.set_route(np.asarray(route, float))
         self.tp_distances = tp_distances
+        self.gps_noise = gps_noise_std
+        self.compass_noise = compass_noise_std
 
     def step(self) -> Tuple[float, float, float]:
         from simlingo_tpu.agent.agent import AgentFrame
-        ego = self.world.ego
-        frames = self.camera.render(self.world)
-        inp = self.planner.ego_inputs(ego.position, ego.yaw,
+        ego, world = self.world.ego, self.world
+        frames = self.camera.render(world)
+        pos, yaw, speed = ego.position.copy(), float(ego.yaw), \
+            float(ego.speed)
+        if self.gps_noise > 0.0 or self.compass_noise > 0.0:
+            pos = pos + world.rng.randn(2) * self.gps_noise
+            yaw = yaw + float(world.rng.randn()) * self.compass_noise
+            pos2, yaw, speed = self.agent.filter_ego_state(pos, yaw, speed)
+            pos = np.asarray(pos2, float)
+        inp = self.planner.ego_inputs(pos, yaw,
                                       tp_distances=self.tp_distances)
-        frame = AgentFrame(rgb=frames["rgb"], speed=float(ego.speed),
+        frame = AgentFrame(rgb=frames["rgb"], speed=speed,
                            target_point=np.asarray(inp["target_point"]),
                            next_target_point=np.asarray(
                                inp["target_point_next"]),
-                           compass=float(ego.yaw),
-                           gps=ego.position.copy())
+                           compass=yaw, gps=pos)
         out = self.agent.run_step(frame)
         return (float(out["steer"]), float(out["throttle"]),
                 float(out["brake"]))

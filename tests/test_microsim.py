@@ -354,6 +354,13 @@ def test_model_driver_closed_loop():
     assert rec["scores"]["score_route"] >= 0.0
     assert rec["meta"]["duration_game"] == pytest.approx(8 * 0.05)
 
+    # noisy-sensor variant: GNSS/compass noise routed through the agent's
+    # UKF (reference agent_simlingo.py:507-529 filtering path)
+    rec2 = run_route(spec, model_factory(agent, gps_noise_std=0.5,
+                                         compass_noise_std=0.02),
+                     max_steps=8)
+    assert np.isfinite(rec2["scores"]["score_composed"])
+
 
 def test_replay_recording_and_gif_from_microsim_run(tmp_path):
     """A recorded microsim run (bad agent -> collision) must replay to
