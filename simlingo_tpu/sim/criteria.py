@@ -154,6 +154,11 @@ class RouteCriteria:
             off = (abs(wp["lateral"]) > wp["lane_width"] / 2.0
                    + self.ALLOWED_OUT_DISTANCE
                    or wp["lane_type"] not in ("driving", "parking"))
+            # junction interiors have no lane assignment (OutsideRouteLanes
+            # compares against junction connecting roads there; turn arcs
+            # are exempt)
+            if off and wp["is_junction"]:
+                off = False
             if off and step > 0:
                 self._outside_meters += step
         self._last_pos = ego.position.copy()

@@ -304,6 +304,47 @@ def crossing_town(arm: float = 150.0, lane_width: float = 3.5,
                   name="MicroTown_Crossing")
 
 
+def crossing_route(town: SimMap, start_s: float, end_s: float,
+                   turn: str = "straight",
+                   spacing: float = 1.0) -> np.ndarray:
+    """Ego route through the crossing: approach on lane 0 (eastbound),
+    then straight / a left turn onto the northbound lane (2) / a right
+    turn onto the southbound lane (3), continuing for `end_s` metres of
+    total arc length. Turn connectors are circular arcs tangent to both
+    lane centerlines (the microsim's stand-in for OpenDRIVE junction
+    connecting roads)."""
+    lane_in = town.lanes[0]
+    if turn == "straight":
+        grid = np.arange(start_s, end_s, spacing)
+        return np.stack([lane_in.point_at_s(s) for s in grid], 0)
+    j = float(np.abs(town.junctions[0]).max())     # junction half-size
+    y_f = lane_in.center[0, 1]                     # -lane_width/2
+    s_entry, _ = lane_in.project([-j, y_f])
+    approach = np.arange(start_s, s_entry, spacing)
+    pts = [lane_in.point_at_s(s) for s in approach]
+    if turn == "right":
+        lane_out = town.lanes[3]                   # southbound at x=y_f
+        center = np.array([-j, -j])
+        r = j + y_f                                # j - lane_width/2
+        ang = np.linspace(math.pi / 2, 0.0,
+                          max(int(r * math.pi / 2 / spacing), 4))
+    else:
+        lane_out = town.lanes[2]                   # northbound at x=-y_f
+        center = np.array([-j, j])
+        r = j - y_f
+        ang = np.linspace(-math.pi / 2, 0.0,
+                          max(int(r * math.pi / 2 / spacing), 4))
+    pts.extend(center + r * np.stack([np.cos(ang), np.sin(ang)], 1))
+    exit_anchor = pts[-1]
+    s_exit, _ = lane_out.project(exit_anchor)
+    used = approach[-1] - start_s + r * math.pi / 2 if len(approach) \
+        else r * math.pi / 2
+    remaining = max(end_s - start_s - used, 10.0)
+    for s in np.arange(s_exit + spacing, s_exit + remaining, spacing):
+        pts.append(lane_out.point_at_s(s))
+    return np.asarray(pts, float)
+
+
 def _link_parallel(lanes: List[Lane], lanes_per_dir: int) -> None:
     """Set left/right/opposite links for the straight/curved builders."""
     for i in range(lanes_per_dir):

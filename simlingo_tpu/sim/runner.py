@@ -56,8 +56,12 @@ def build_world(spec: Dict, seed: int = 0
     lane = town.lanes[spec.get("ego_lane", 0)]
     s0 = float(spec.get("start_s", 5.0))
     s1 = float(spec.get("end_s", lane.length - 5.0))
-    grid = np.arange(s0, s1, 1.0)
-    route = np.stack([lane.point_at_s(s) for s in grid], 0)
+    turn = spec.get("turn")
+    if turn and spec.get("town") == "crossing":
+        route = simmap.crossing_route(town, s0, s1, turn)
+    else:
+        grid = np.arange(s0, s1, 1.0)
+        route = np.stack([lane.point_at_s(s) for s in grid], 0)
     world.spawn_ego(lane.point_at_s(s0), yaw=lane.yaw_at_s(s0),
                     speed=float(spec.get("start_speed", 0.0)))
 
@@ -211,6 +215,31 @@ class ExpertDriver:
             })
         return out
 
+    def _junction_command(self, inp: Dict) -> int:
+        """Derive the navigation command from route geometry ahead: total
+        heading change over the next ~40 m > 45 deg -> turn left (1) /
+        right (2); straight through a junction -> 3; else the planner's
+        command (reference routes carry RoadOption per waypoint; the
+        microsim derives them)."""
+        route = np.asarray(inp["route"])[:400]          # ego frame, 0.1 m
+        if len(route) < 20:
+            return int(inp["command"])
+        d0 = route[10] - route[0]
+        d1 = route[-1] - route[-10]
+        a0 = math.atan2(d0[1], d0[0])
+        a1 = math.atan2(d1[1], d1[0])
+        turn = math.remainder(a1 - a0, 2 * math.pi)
+        if turn > math.pi / 4:
+            return 1
+        if turn < -math.pi / 4:
+            return 2
+        wp = self.world.map.waypoint(self.world.ego.position)
+        near_junction = wp["is_junction"] or self.world.map.in_junction(
+            self.world.ego.position + 20.0 * np.array(
+                [math.cos(self.world.ego.yaw),
+                 math.sin(self.world.ego.yaw)]))
+        return 3 if near_junction else int(inp["command"])
+
     def step(self) -> Tuple[float, float, float]:
         from simlingo_tpu.expert.autopilot import ExpertObservation
 
@@ -235,7 +264,7 @@ class ExpertDriver:
             light_distance=light_distance,
             stop_sign_distance=stop_distance, stop_sign_id=stop_id,
             junction=bool(wp["is_junction"]),
-            command=int(inp["command"]),
+            command=self._junction_command(inp),
             near_lane_change=self.planner.near_lane_change(),
             changed_route=inp["changed_route"])
         if self.collector is not None:

@@ -81,6 +81,10 @@ MICROBENCH: List[Dict] = [
     {"town": "crossing", "start_s": 5.0, "end_s": 290.0,
      "route_id": "micro_16_stop_sign",
      "town_kwargs": {"lights": False, "stop_sign": True}},
+    {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "left",
+     "route_id": "micro_17_junction_left"},
+    {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "right",
+     "route_id": "micro_18_junction_right"},
 ]
 
 

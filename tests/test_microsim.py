@@ -390,3 +390,24 @@ def test_replay_recording_and_gif_from_microsim_run(tmp_path):
     gifs = make_infraction_gifs(res_path, frames_dir,
                                 str(tmp_path / "gifs"))
     assert gifs
+
+
+@pytest.mark.parametrize("turn,cmd", [("left", 1), ("right", 2)])
+def test_expert_turns_at_junction(tmp_path, turn, cmd):
+    """Turn routes through the signalized crossing: arc-connector route,
+    clean expert drive, and the derived navigation command (go left=1 /
+    right=2) recorded in the collected measurements."""
+    root = str(tmp_path / "turns")
+    spec = {"town": "crossing", "start_s": 5.0, "end_s": 260.0,
+            "route_id": f"Town12_turn_{turn}", "turn": turn}
+    rec = run_route(spec, expert_factory(
+        save_root=root, dir_name_fmt=f"Town12_turn_{turn}"))
+    assert rec["status"] == "Completed", rec["infractions"]
+    assert rec["scores"]["score_composed"] == 100.0, rec["infractions"]
+    import glob as _glob
+    cmds = []
+    for fp in sorted(_glob.glob(os.path.join(
+            root, f"Town12_turn_{turn}", "measurements", "*.json.gz"))):
+        with gzip.open(fp, "rt") as f:
+            cmds.append(json.load(f)["command"])
+    assert cmd in cmds, cmds
