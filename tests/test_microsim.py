@@ -411,3 +411,23 @@ def test_expert_turns_at_junction(tmp_path, turn, cmd):
         with gzip.open(fp, "rt") as f:
             cmds.append(json.load(f)["command"])
     assert cmd in cmds, cmds
+
+
+def test_visualize_dataset_montage(tmp_path):
+    """scripts/visualize_dataset.py (reference team_code/visualize_dataset
+    counterpart) must render a camera+BEV montage from a collected route."""
+    import importlib.util
+
+    spec = {"town": "straight", "start_s": 5.0, "end_s": 50.0,
+            "route_id": "viz"}
+    root = str(tmp_path / "d")
+    run_route(spec, expert_factory(save_root=root, dir_name_fmt="Town12_v"))
+    mod_spec = importlib.util.spec_from_file_location(
+        "visualize_dataset", os.path.join(
+            os.path.dirname(__file__), "..", "scripts",
+            "visualize_dataset.py"))
+    viz = importlib.util.module_from_spec(mod_spec)
+    mod_spec.loader.exec_module(viz)
+    montage = viz.frame_montage(os.path.join(root, "Town12_v"), 2)
+    assert montage.ndim == 3 and montage.shape[1] > 1500
+    assert montage.std() > 10  # actually drew something
