@@ -174,15 +174,47 @@ class SimMap:
                       spacing: float = 1.0) -> np.ndarray:
         """Sparse route along lane centerlines between two points.
 
-        Routes in the microsim live on a single lane chain (towns are built
-        so scenario routes do); the planner densifies downstream
+        Same-lane endpoints follow the centerline; endpoints on DIFFERENT
+        lanes are joined through a tangent-matched Hermite connector cut in
+        at the lanes' closest approach (the microsim's stand-in for an
+        OpenDRIVE junction connecting road) -- so junction turns trace
+        correctly. The planner densifies downstream
         (expert/route_planner.densify_route).
         """
-        lane = self.closest_lane(start_xy)
-        s0, _ = lane.project(start_xy)
-        s1, _ = lane.project(end_xy)
-        grid = np.arange(s0, max(s1, s0 + spacing), spacing)
-        return np.stack([lane.point_at_s(s) for s in grid], 0)
+        lane_a = self.closest_lane(start_xy)
+        lane_b = self.closest_lane(end_xy)
+        s0, _ = lane_a.project(start_xy)
+        if lane_a is lane_b:
+            s1, _ = lane_a.project(end_xy)
+            grid = np.arange(s0, max(s1, s0 + spacing), spacing)
+            return np.stack([lane_a.point_at_s(s) for s in grid], 0)
+        # closest-approach pair of the two centerlines (coarse stride)
+        ca, cb = lane_a.center[::4], lane_b.center[::4]
+        d = np.linalg.norm(ca[:, None] - cb[None, :], axis=2)
+        ia, ib = np.unravel_index(int(np.argmin(d)), d.shape)
+        margin = 8.0
+        s_cut_a = max(float(lane_a._cum[ia * 4]) - margin, s0 + spacing)
+        s_cut_b = min(float(lane_b._cum[ib * 4]) + margin,
+                      lane_b.project(end_xy)[0] - spacing)
+        pts = [lane_a.point_at_s(s)
+               for s in np.arange(s0, s_cut_a, spacing)]
+        # tangent-matched cubic Hermite across the junction
+        pa, pb = lane_a.point_at_s(s_cut_a), lane_b.point_at_s(s_cut_b)
+        ya, yb = lane_a.yaw_at_s(s_cut_a), lane_b.yaw_at_s(s_cut_b)
+        scale = float(np.linalg.norm(pb - pa))
+        ta = scale * np.array([math.cos(ya), math.sin(ya)])
+        tb = scale * np.array([math.cos(yb), math.sin(yb)])
+        n = max(int(1.5 * scale / spacing), 4)
+        for t in np.linspace(0.0, 1.0, n + 1)[1:]:
+            h00 = 2 * t ** 3 - 3 * t ** 2 + 1
+            h10 = t ** 3 - 2 * t ** 2 + t
+            h01 = -2 * t ** 3 + 3 * t ** 2
+            h11 = t ** 3 - t ** 2
+            pts.append(h00 * pa + h10 * ta + h01 * pb + h11 * tb)
+        s_end, _ = lane_b.project(end_xy)
+        pts.extend(lane_b.point_at_s(s)
+                   for s in np.arange(s_cut_b + spacing, s_end, spacing))
+        return np.asarray(pts, float)
 
 
 def _point_in_polygon(p: np.ndarray, poly: np.ndarray) -> bool:
@@ -307,16 +339,16 @@ def crossing_town(arm: float = 150.0, lane_width: float = 3.5,
 def crossing_route(town: SimMap, start_s: float, end_s: float,
                    turn: str = "straight",
                    spacing: float = 1.0) -> np.ndarray:
-    """Ego route through the crossing: approach on lane 0 (eastbound),
-    then straight / a left turn onto the northbound lane (2) / a right
+    """Ego turn route through the crossing: approach on lane 0
+    (eastbound), then a left turn onto the northbound lane (2) or a right
     turn onto the southbound lane (3), continuing for `end_s` metres of
     total arc length. Turn connectors are circular arcs tangent to both
     lane centerlines (the microsim's stand-in for OpenDRIVE junction
     connecting roads)."""
+    if turn not in ("left", "right"):
+        raise ValueError(f"turn must be 'left' or 'right', got {turn!r}; "
+                         "straight crossing routes use the plain lane grid")
     lane_in = town.lanes[0]
-    if turn == "straight":
-        grid = np.arange(start_s, end_s, spacing)
-        return np.stack([lane_in.point_at_s(s) for s in grid], 0)
     j = float(np.abs(town.junctions[0]).max())     # junction half-size
     y_f = lane_in.center[0, 1]                     # -lane_width/2
     s_entry, _ = lane_in.project([-j, y_f])

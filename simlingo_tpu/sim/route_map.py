@@ -22,8 +22,11 @@ class MicrosimRouteMap(RouteMap):
 
     def trace_route(self, a: Sequence[float], b: Sequence[float]
                     ) -> List[Tuple[List[float], str]]:
+        # ParsedRoute.build_trace mixes these with the route file's 3D
+        # waypoints into one [T, 3] array -- points must be [x, y, z]
         pts = self.map.route_between(a, b, spacing=self.resolution)
-        return [(list(map(float, p)), "LANEFOLLOW") for p in pts]
+        return [([float(p[0]), float(p[1]), 0.0], "LANEFOLLOW")
+                for p in pts]
 
     def is_junction(self, p: Sequence[float]) -> bool:
         return self.map.in_junction(p)
@@ -50,7 +53,12 @@ class MicrosimRouteMap(RouteMap):
     def same_dir_lane_points(self, p: Sequence[float]) -> List[List[float]]:
         lane = self.map.closest_lane(p)
         s, _ = lane.project(p)
-        out = [list(map(float, lane.point_at_s(s)))]
+
+        def xyz(lane_, s_):
+            q = lane_.point_at_s(s_)
+            return [float(q[0]), float(q[1]), 0.0]
+
+        out = [xyz(lane, s)]
         for side in ("left", "right"):
             probe = lane
             while True:
@@ -58,6 +66,6 @@ class MicrosimRouteMap(RouteMap):
                 if nxt is None or nxt.lane_type != "driving":
                     break
                 ss, _ = nxt.project(p)
-                out.append(list(map(float, nxt.point_at_s(ss))))
+                out.append(xyz(nxt, ss))
                 probe = nxt
         return out

@@ -57,7 +57,14 @@ def build_world(spec: Dict, seed: int = 0
     s0 = float(spec.get("start_s", 5.0))
     s1 = float(spec.get("end_s", lane.length - 5.0))
     turn = spec.get("turn")
-    if turn and spec.get("town") == "crossing":
+    if turn:
+        if spec.get("town") != "crossing":
+            raise ValueError(
+                f"spec 'turn' is only meaningful on the crossing town, "
+                f"got town={spec.get('town')!r}")
+        if spec.get("ego_lane", 0) != 0:
+            raise ValueError("turn routes start on lane 0 (eastbound); "
+                             "drop 'ego_lane' or set it to 0")
         route = simmap.crossing_route(town, s0, s1, turn)
     else:
         grid = np.arange(s0, s1, 1.0)
@@ -112,6 +119,7 @@ class ExpertDriver:
         self.scenarios = ScenarioManager(self.planner)
         self.scenario_records = list(scenario_records)
         self.target_speed = target_speed
+        self._active_turn_cmd: Optional[int] = None
         self.camera = camera
         self.collector = None
         if save_path is not None:
@@ -215,29 +223,44 @@ class ExpertDriver:
             })
         return out
 
-    def _junction_command(self, inp: Dict) -> int:
-        """Derive the navigation command from route geometry ahead: total
-        heading change over the next ~40 m > 45 deg -> turn left (1) /
-        right (2); straight through a junction -> 3; else the planner's
-        command (reference routes carry RoadOption per waypoint; the
-        microsim derives them)."""
+    def _junction_command(self, inp: Dict, wp: Dict) -> int:
+        """Derive the navigation command from route geometry: a junction
+        within ~40 m of route ahead plus a >45-deg total heading change ->
+        turn left (1) / right (2), straight through -> 3; else the
+        planner's command (reference routes carry RoadOption per
+        waypoint; the microsim derives them).
+
+        Turn commands are STICKY for the whole junction traversal: once
+        issued, the command holds until the ego has left the junction and
+        the remaining heading change has played out -- otherwise the
+        second half of the arc (remaining turn < 45 deg) would flip to
+        'go straight' while steering hard (labels must match the
+        maneuver, not the residual geometry)."""
         route = np.asarray(inp["route"])[:400]          # ego frame, 0.1 m
         if len(route) < 20:
             return int(inp["command"])
         d0 = route[10] - route[0]
         d1 = route[-1] - route[-10]
-        a0 = math.atan2(d0[1], d0[0])
-        a1 = math.atan2(d1[1], d1[0])
-        turn = math.remainder(a1 - a0, 2 * math.pi)
-        if turn > math.pi / 4:
+        turn = math.remainder(math.atan2(d1[1], d1[0])
+                              - math.atan2(d0[1], d0[0]), 2 * math.pi)
+        # junction proximity: probe the GLOBAL dense route ahead (a single
+        # fixed-offset probe can overshoot a 14 m junction)
+        planner = self.planner
+        ahead = planner.route[planner.idx:
+                              planner.idx + 400:40]     # every 4 m, 40 m
+        near_junction = bool(wp["is_junction"]) or any(
+            self.world.map.in_junction(p) for p in ahead)
+        if self._active_turn_cmd is not None:
+            if not near_junction and abs(turn) < math.radians(10):
+                self._active_turn_cmd = None
+            else:
+                return self._active_turn_cmd
+        if near_junction and turn > math.pi / 4:
+            self._active_turn_cmd = 1
             return 1
-        if turn < -math.pi / 4:
+        if near_junction and turn < -math.pi / 4:
+            self._active_turn_cmd = 2
             return 2
-        wp = self.world.map.waypoint(self.world.ego.position)
-        near_junction = wp["is_junction"] or self.world.map.in_junction(
-            self.world.ego.position + 20.0 * np.array(
-                [math.cos(self.world.ego.yaw),
-                 math.sin(self.world.ego.yaw)]))
         return 3 if near_junction else int(inp["command"])
 
     def step(self) -> Tuple[float, float, float]:
@@ -264,7 +287,7 @@ class ExpertDriver:
             light_distance=light_distance,
             stop_sign_distance=stop_distance, stop_sign_id=stop_id,
             junction=bool(wp["is_junction"]),
-            command=self._junction_command(inp),
+            command=self._junction_command(inp, wp),
             near_lane_change=self.planner.near_lane_change(),
             changed_route=inp["changed_route"])
         if self.collector is not None:

@@ -431,3 +431,92 @@ def test_visualize_dataset_montage(tmp_path):
     montage = viz.frame_montage(os.path.join(root, "Town12_v"), 2)
     assert montage.ndim == 3 and montage.shape[1] > 1500
     assert montage.std() > 10  # actually drew something
+
+
+def test_microsim_route_map_backs_route_tools():
+    """MicrosimRouteMap must satisfy the route_tools RouteMap protocol:
+    3D trace points that build_trace can mix with route-file waypoints,
+    junction/lane queries from the SimMap."""
+    import xml.etree.ElementTree as ET
+
+    from simlingo_tpu.labels.route_tools import ParsedRoute
+    from simlingo_tpu.sim.route_map import MicrosimRouteMap
+
+    town = simmap.crossing_town()
+    rmap = MicrosimRouteMap(town)
+    waypoints = np.array([[-100.0, -1.75, 0.0], [-50.0, -1.75, 0.0],
+                          [100.0, -1.75, 0.0]])
+    route = ParsedRoute(town="Micro", waypoints=waypoints, scenarios=[],
+                        trigger_points=np.zeros((0, 3)),
+                        weather_begin=[0.0] * 9, weather_end=[0.0] * 9)
+    route.build_trace(rmap)
+    assert route.trace.ndim == 2 and route.trace.shape[1] == 3
+    assert len(route.trace) > 150
+    assert rmap.is_junction([0.0, 0.0])
+    assert rmap.junction_has_traffic_lights([0.0, 0.0])
+    assert rmap.lane_change([50.0, -1.75]) in ("NONE", "Left", "Right",
+                                               "Both")
+    pts = rmap.same_dir_lane_points([50.0, -1.75])
+    assert all(len(p) == 3 for p in pts)
+
+
+def test_route_between_joins_lanes_through_junction():
+    """Cross-lane route_between must produce a tangent-matched connector,
+    not a silent single-lane stub (left-turn endpoints)."""
+    town = simmap.crossing_town()
+    route = town.route_between([-50.0, -1.75], [1.75, 50.0])
+    assert len(route) > 80
+    # endpoints on the right lanes
+    assert np.linalg.norm(route[0] - [-50.0, -1.75]) < 2.0
+    assert np.linalg.norm(route[-1] - [1.75, 50.0]) < 3.0
+    # continuous: no jump larger than ~2x spacing
+    steps = np.linalg.norm(np.diff(route, axis=0), axis=1)
+    assert steps.max() < 2.5, steps.max()
+
+
+def test_turn_command_sequence_is_clean(tmp_path):
+    """Command labels around the junction must be monotone phases --
+    approach (3 or 4->3), the sticky turn command through the WHOLE arc,
+    then back to follow -- with no 3->4->3 or 1->3 flap (code-review r3
+    findings: single-point junction probe; mid-arc residual turn)."""
+    import glob as _glob
+
+    root = str(tmp_path / "d")
+    spec = {"town": "crossing", "start_s": 5.0, "end_s": 260.0,
+            "route_id": "seq", "turn": "left"}
+    rec = run_route(spec, expert_factory(save_root=root,
+                                         dir_name_fmt="Town12_seq"))
+    assert rec["status"] == "Completed"
+    cmds = []
+    for fp in sorted(_glob.glob(os.path.join(
+            root, "Town12_seq", "measurements", "*.json.gz"))):
+        with gzip.open(fp, "rt") as f:
+            cmds.append(json.load(f)["command"])
+    # collapse runs: the phase sequence must be 4* 1+ 4* (optionally a
+    # leading/trailing 3 for straight-junction edges, but never 4 inside
+    # the 1-run and never 3 between 1s)
+    runs = [c for i, c in enumerate(cmds) if i == 0 or c != cmds[i - 1]]
+    assert 1 in runs, runs
+    i1_first, i1_last = runs.index(1), len(runs) - 1 - runs[::-1].index(1)
+    assert i1_first == i1_last, f"turn command interrupted: {runs}"
+    # straight-crossing: no 3 -> 4 -> 3 flap on approach
+    spec2 = {"town": "crossing", "start_s": 5.0, "end_s": 290.0,
+             "route_id": "seq2"}
+    rec2 = run_route(spec2, expert_factory(save_root=root,
+                                           dir_name_fmt="Town12_seq2"))
+    cmds2 = []
+    for fp in sorted(_glob.glob(os.path.join(
+            root, "Town12_seq2", "measurements", "*.json.gz"))):
+        with gzip.open(fp, "rt") as f:
+            cmds2.append(json.load(f)["command"])
+    runs2 = [c for i, c in enumerate(cmds2) if i == 0 or c != cmds2[i - 1]]
+    assert runs2.count(3) <= 1, f"junction command flapped: {runs2}"
+
+
+def test_build_world_rejects_bad_turn_specs():
+    with pytest.raises(ValueError):
+        build_world({"town": "straight", "turn": "left", "start_s": 5.0,
+                     "end_s": 100.0})
+    with pytest.raises(ValueError):
+        build_world({"town": "crossing", "turn": "left", "ego_lane": 1,
+                     "start_s": 5.0, "end_s": 100.0})
