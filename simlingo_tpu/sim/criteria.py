@@ -197,7 +197,8 @@ class RouteCriteria:
     # -- results -------------------------------------------------------------
     def record(self, route_id: str = "RouteScenario_0",
                town: Optional[str] = None,
-               wall_time: float = 0.0) -> Dict:
+               wall_time: float = 0.0,
+               scenario_type: Optional[str] = None) -> Dict:
         """Leaderboard-format route record (statistics_manager schema)."""
         from simlingo_tpu.eval.driving_score import PENALTIES
 
@@ -230,5 +231,7 @@ class RouteCriteria:
                 "duration_game": self.world.time,
                 "duration_system": wall_time,
                 "town": town or self.world.map.name,
+                # consumed by eval/b2d_benchmarks.ability_benchmark
+                "scenario_type": scenario_type,
             },
         }

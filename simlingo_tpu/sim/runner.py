@@ -465,8 +465,11 @@ def run_route(spec: Dict,
                 on_tick(world, criteria)
             if criteria.finished:
                 break
+        scen = spec.get("scenarios") or []
         record = criteria.record(route_id=spec.get("route_id", "micro_0"),
-                                 wall_time=time.time() - t0)
+                                 wall_time=time.time() - t0,
+                                 scenario_type=(scen[0]["type"]
+                                                if scen else None))
     finally:
         driver.destroy(record)
         if recorder is not None:
