@@ -77,14 +77,18 @@ class DataCollector:
              lidar_half_sweep: Optional[np.ndarray] = None,
              semantics: Optional[np.ndarray] = None,
              depth: Optional[np.ndarray] = None,
-             extra_measurements: Optional[Dict] = None) -> Dict:
+             extra_measurements: Optional[Dict] = None,
+             aug: Optional[Dict[str, float]] = None) -> Dict:
         """Run the expert; persist sensors on save frames.
 
         lidar_half_sweep: ego-frame points of THIS tick's half revolution
         (CARLA lidar spins at 10 Hz vs 20 Hz ticks); realigned with the
         previous half before saving (reference data_agent.py:304-330).
+        aug: pre-sampled camera augmentation (a caller that renders the
+        augmented view itself must sample BEFORE rendering and pass it in
+        so the saved labels match the rendered pose); None samples here.
         """
-        aug = self.sample_camera_augmentation()
+        aug = aug or self.sample_camera_augmentation()
         obs.augmentation_rotation = aug["rotation"]
         obs.augmentation_translation = aug["translation"]
         out = self.expert.tick(obs, scenario_result=scenario_result,
@@ -128,6 +132,12 @@ class DataCollector:
                         from simlingo_tpu.utils.geometry import convert_depth
                         depth = (convert_depth(depth) * 255.0 + 0.5).astype(
                             np.uint8)
+                    elif depth.dtype != np.uint8:
+                        # metric float depth (microsim camera): store as
+                        # uint16 centimetres (1 cm resolution to 655 m)
+                        depth = np.clip(np.asarray(depth, np.float64)
+                                        * 100.0, 0, 65535).astype(
+                                            np.uint16)
                     cv2.imwrite(os.path.join(self.save_path, "depth",
                                              f"{frame:04}.png"), depth)
                 # BEV semantic raster from privileged boxes + route

@@ -88,11 +88,15 @@ class Camera:
 
     # -- rendering -----------------------------------------------------------
     def render(self, world: SimWorld, ego: Optional[Actor] = None,
-               with_labels: bool = False) -> Dict[str, np.ndarray]:
+               with_labels: bool = False,
+               pose: Optional[Tuple[np.ndarray, float]] = None
+               ) -> Dict[str, np.ndarray]:
+        """pose: optional (position, yaw) camera-mount override (pose-
+        augmented second camera); `ego` is still excluded from drawing."""
         import cv2
 
         ego = ego or world.ego
-        pos, yaw = ego.position, ego.yaw
+        pos, yaw = (ego.position, ego.yaw) if pose is None else pose
         h, w = self.height, self.width
         rgb = np.zeros((h, w, 3), np.uint8)
         sem = np.zeros((h, w), np.uint8)
@@ -107,7 +111,15 @@ class Camera:
                          + bot[None, None] * grad[:, :, None]).astype(
                              np.uint8)
         rgb[horizon:] = _COLORS["ground"]
-        depth[horizon:] = self.max_range
+        # true ground-plane depth per row: planar z = f * cam_height / (v
+        # - cy) for a level camera (CARLA depth is planar-z metric)
+        f, cy = self.K[1, 1], self.K[1, 2]
+        rows = np.arange(horizon, h, dtype=np.float64)
+        cam_h = 2.0
+        with np.errstate(divide="ignore"):
+            ground_z = np.where(rows > cy, f * cam_h / (rows - cy),
+                                self.max_range)
+        depth[horizon:] = np.minimum(ground_z, self.max_range)[:, None]
 
         # road surface: lane quads (far strips first is irrelevant --
         # the ground plane never occludes itself at z=0)

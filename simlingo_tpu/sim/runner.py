@@ -291,14 +291,35 @@ class ExpertDriver:
             near_lane_change=self.planner.near_lane_change(),
             changed_route=inp["changed_route"])
         if self.collector is not None:
-            frames = self.camera.render(world)
             lane_info = self._lane_info(wp)
             boxes = (actors + self._traffic_boxes()
                      + [dict(lane_info, **{"class": "ego_info"})])
+            # render only on save frames (collector persists at 4 Hz);
+            # the augmented view is a REAL second camera at the sampled
+            # shifted pose (reference data_agent.py:389-402), so the
+            # saved augmentation labels match the rendered geometry
+            rgb = rgb_aug = semantics = depth = None
+            aug = self.collector.sample_camera_augmentation()
+            if self.collector.tick_count % self.collector.data_save_freq \
+                    == 0:
+                frames = self.camera.render(
+                    world, with_labels=self.collector.save_labels)
+                rgb = frames["rgb"]
+                semantics = frames.get("semantics")
+                depth = frames.get("depth")
+                base = self.camera
+                cam_aug = Camera(base.width, base.height,
+                                 pos=(-1.5, float(aug["translation"]),
+                                      2.0))
+                rgb_aug = cam_aug.render(
+                    world, pose=(ego.position,
+                                 ego.yaw + math.radians(aug["rotation"]))
+                )["rgb"]
             out = self.collector.tick(
-                obs, rgb=frames["rgb"], rgb_augmented=frames["rgb"],
+                obs, rgb=rgb, rgb_augmented=rgb_aug,
                 boxes=boxes, scenario_result=scenario_result,
-                extra_measurements=lane_info)
+                semantics=semantics, depth=depth,
+                extra_measurements=lane_info, aug=aug)
         else:
             out = self.expert.tick(obs, scenario_result=scenario_result)
         return (float(out["steer"]), float(out["throttle"]),
