@@ -26,6 +26,9 @@ run "batch12 remat-vision" BENCH_MODE=train BENCH_BATCH=12 BENCH_REMAT=vision
 # 3. int8 (w8a16) frozen LLM base in the TRAINING forward (dx-only backward)
 run "batch6 int8-base"     BENCH_MODE=train BENCH_INT8_BASE=1
 run "batch8 int8-base"     BENCH_MODE=train BENCH_INT8_BASE=1 BENCH_BATCH=8
+# 3b. fused Pallas LayerNorm/RMSNorm (validate on-chip first: kernels are
+#     interpret-tested on CPU; see kernels/layernorm.py)
+run "batch6 pallas-LN"     BENCH_MODE=train SIMLINGO_LN_IMPL=pallas
 # 4. latency lines at production budgets (driver-captured format)
 run "latency"              BENCH_MODE=latency
 

@@ -77,7 +77,15 @@ def layernorm_init(dim: int, dtype=jnp.float32) -> Params:
     return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
 
 
+def _ln_impl() -> str:
+    import os
+    return os.environ.get("SIMLINGO_LN_IMPL", "xla")
+
+
 def layernorm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    if _ln_impl() == "pallas":
+        from simlingo_tpu.kernels.layernorm import layernorm_fused
+        return layernorm_fused(x, p["scale"], p["bias"], eps)
     orig_dtype = x.dtype
     x = x.astype(jnp.float32)
     mean = x.mean(axis=-1, keepdims=True)
@@ -92,6 +100,9 @@ def rmsnorm_init(dim: int, dtype=jnp.float32) -> Params:
 
 
 def rmsnorm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    if _ln_impl() == "pallas":
+        from simlingo_tpu.kernels.layernorm import rmsnorm_fused
+        return rmsnorm_fused(x, p["scale"], eps)
     orig_dtype = x.dtype
     x = x.astype(jnp.float32)
     var = (x * x).mean(axis=-1, keepdims=True)
