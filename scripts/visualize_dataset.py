@@ -44,7 +44,8 @@ def _box_color(box):
     tid = str(box.get("type_id", ""))
     base = str(box.get("base_type", ""))
     if cls == "traffic_light":
-        return CLASS_COLORS[f"traffic_light_{box.get('state', 'green')}"]
+        return CLASS_COLORS.get(f"traffic_light_{box.get('state', 'green')}",
+                                (180, 180, 180))   # off/unknown states
     if cls == "stop_sign" or "stop" in tid:
         return CLASS_COLORS["stop_sign"]
     if base == "walker" or "walker" in tid:

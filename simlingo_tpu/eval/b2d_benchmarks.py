@@ -127,12 +127,14 @@ def ability_benchmark(records: Sequence[Dict],
     crashed: List[str] = []
     for record in records:
         scenario = scenario_of_route(record, route_scenarios)
-        if scenario is None:
-            continue
+        # crash surfacing must not depend on scenario resolution -- a
+        # crashed route with no scenario_type is the one to report
         if record.get("status") in ("Failed", "Crashed",
                                     "Failed - Simulation crashed",
                                     "Failed - Agent crashed"):
             crashed.append(str(record.get("route_id")))
+        if scenario is None:
+            continue
         ok = route_success(record)
         for ability, scenarios in ABILITIES.items():
             if scenario in scenarios:
@@ -200,7 +202,9 @@ def comfort_ok(acceleration: np.ndarray, yaw_rate: np.ndarray,
     acc2d = np.asarray(acceleration, float)[:, :2]
     fwd2d = np.asarray(forward, float)[:, :2]
     right2d = np.asarray(right, float)[:, :2]
-    yaw_rate = _phase_unwrap(np.asarray(yaw_rate, float))
+    # yaw_rate is a RATE (rad/s), not an angle: no phase unwrapping (the
+    # reference unwraps it like a heading, which hides >pi rad/s spikes)
+    yaw_rate = np.asarray(yaw_rate, float)
 
     lon = savgol_filter(np.einsum("ij,ij->i", acc2d, fwd2d),
                         window, poly_order)

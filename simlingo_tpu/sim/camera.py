@@ -58,6 +58,7 @@ class Camera:
         self.width, self.height = width, height
         self.K = camera_intrinsics(width, height, fov_deg)
         self.E_inv = np.linalg.inv(camera_extrinsics(pos))
+        self.mount = tuple(pos)
         self.max_range = max_range
 
     # -- projection ----------------------------------------------------------
@@ -115,7 +116,7 @@ class Camera:
         # - cy) for a level camera (CARLA depth is planar-z metric)
         f, cy = self.K[1, 1], self.K[1, 2]
         rows = np.arange(horizon, h, dtype=np.float64)
-        cam_h = 2.0
+        cam_h = float(self.mount[2])
         with np.errstate(divide="ignore"):
             ground_z = np.where(rows > cy, f * cam_h / (rows - cy),
                                 self.max_range)

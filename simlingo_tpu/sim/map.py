@@ -342,39 +342,27 @@ def crossing_route(town: SimMap, start_s: float, end_s: float,
     """Ego turn route through the crossing: approach on lane 0
     (eastbound), then a left turn onto the northbound lane (2) or a right
     turn onto the southbound lane (3), continuing for `end_s` metres of
-    total arc length. Turn connectors are circular arcs tangent to both
-    lane centerlines (the microsim's stand-in for OpenDRIVE junction
-    connecting roads)."""
+    total arc length. The connector comes from route_between's
+    tangent-matched Hermite -- ONE junction-connector geometry for both
+    the executable ego route and the route-tooling traces
+    (MicrosimRouteMap)."""
     if turn not in ("left", "right"):
         raise ValueError(f"turn must be 'left' or 'right', got {turn!r}; "
                          "straight crossing routes use the plain lane grid")
     lane_in = town.lanes[0]
+    lane_out = town.lanes[2 if turn == "left" else 3]
     j = float(np.abs(town.junctions[0]).max())     # junction half-size
-    y_f = lane_in.center[0, 1]                     # -lane_width/2
-    s_entry, _ = lane_in.project([-j, y_f])
-    approach = np.arange(start_s, s_entry, spacing)
-    pts = [lane_in.point_at_s(s) for s in approach]
-    if turn == "right":
-        lane_out = town.lanes[3]                   # southbound at x=y_f
-        center = np.array([-j, -j])
-        r = j + y_f                                # j - lane_width/2
-        ang = np.linspace(math.pi / 2, 0.0,
-                          max(int(r * math.pi / 2 / spacing), 4))
-    else:
-        lane_out = town.lanes[2]                   # northbound at x=-y_f
-        center = np.array([-j, j])
-        r = j - y_f
-        ang = np.linspace(-math.pi / 2, 0.0,
-                          max(int(r * math.pi / 2 / spacing), 4))
-    pts.extend(center + r * np.stack([np.cos(ang), np.sin(ang)], 1))
-    exit_anchor = pts[-1]
-    s_exit, _ = lane_out.project(exit_anchor)
-    used = approach[-1] - start_s + r * math.pi / 2 if len(approach) \
-        else r * math.pi / 2
-    remaining = max(end_s - start_s - used, 10.0)
-    for s in np.arange(s_exit + spacing, s_exit + remaining, spacing):
-        pts.append(lane_out.point_at_s(s))
-    return np.asarray(pts, float)
+    start = lane_in.point_at_s(start_s)
+    # exit-lane arc position just past the junction; extend to use up the
+    # remaining route budget
+    s_exit_edge, _ = lane_out.project(
+        [lane_out.center[0, 0], 0.0] if turn == "left"
+        else [lane_out.center[-1, 0], 0.0])
+    s_exit_edge = max(s_exit_edge, j + 2.0)
+    approach_len = max(0.0, -j - start[0])
+    remaining = max(end_s - start_s - approach_len - 2.0 * j, 10.0)
+    end = lane_out.point_at_s(s_exit_edge + remaining)
+    return town.route_between(start, end, spacing=spacing)
 
 
 def _link_parallel(lanes: List[Lane], lanes_per_dir: int) -> None:

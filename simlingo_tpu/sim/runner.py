@@ -307,14 +307,18 @@ class ExpertDriver:
                 rgb = frames["rgb"]
                 semantics = frames.get("semantics")
                 depth = frames.get("depth")
-                base = self.camera
-                cam_aug = Camera(base.width, base.height,
-                                 pos=(-1.5, float(aug["translation"]),
-                                      2.0))
-                rgb_aug = cam_aug.render(
-                    world, pose=(ego.position,
-                                 ego.yaw + math.radians(aug["rotation"]))
-                )["rgb"]
+                # the augmented view is a virtual ego displaced by the
+                # sampled translation along ego-y and rotated by the
+                # sampled yaw, with the SAME camera mount -- matching the
+                # training-label transform exactly
+                # (data/measurements.rotate_translate: p' = R(-yaw) @
+                # (p - (0, trans)))
+                trans = float(aug["translation"])
+                vpos = ego.position + trans * np.array(
+                    [-math.sin(ego.yaw), math.cos(ego.yaw)])
+                vyaw = ego.yaw + math.radians(aug["rotation"])
+                rgb_aug = self.camera.render(world,
+                                             pose=(vpos, vyaw))["rgb"]
             out = self.collector.tick(
                 obs, rgb=rgb, rgb_augmented=rgb_aug,
                 boxes=boxes, scenario_result=scenario_result,
@@ -499,9 +503,12 @@ def run_route(spec: Dict,
 
 
 def run_routes(specs: Sequence[Dict], driver_factory,
-               out_path: Optional[str] = None, seed: int = 0) -> Dict:
+               out_path: Optional[str] = None, seed: int = 0,
+               max_steps: Optional[int] = None,
+               record_dir: Optional[str] = None) -> Dict:
     """Run many routes; write a leaderboard-format checkpoint JSON."""
-    records = [run_route(s, driver_factory, seed=seed + i)
+    records = [run_route(s, driver_factory, seed=seed + i,
+                         max_steps=max_steps, record_dir=record_dir)
                for i, s in enumerate(specs)]
     checkpoint = {"_checkpoint": {"records": records}}
     if out_path:

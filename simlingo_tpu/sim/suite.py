@@ -153,16 +153,16 @@ def main(argv=None) -> Dict:
     out_path = args.out or "microbench_results.json"
     if args.agent == "expert" and args.collect:
         # collection: one dataset dir per route, named for the training
-        # pipeline's layout (data/simlingo/*/*/routes_training/Town*)
-        from simlingo_tpu.sim.runner import run_route
+        # pipeline's layout (data/simlingo/*/*/routes_training/Town*) --
+        # per-spec factories so each route gets its own directory
         records = []
         for i, spec in enumerate(specs):
             factory = expert_factory(
                 save_root=args.collect,
                 dir_name_fmt=f"Town12_{spec['route_id']}")
-            records.append(run_route(spec, factory, seed=i,
-                                     max_steps=args.max_steps,
-                                     record_dir=args.record))
+            records.extend(run_routes(
+                [spec], factory, seed=i, max_steps=args.max_steps,
+                record_dir=args.record)["_checkpoint"]["records"])
         checkpoint = {"_checkpoint": {"records": records}}
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         with open(out_path, "w") as f:
@@ -174,18 +174,9 @@ def main(argv=None) -> Dict:
             agent = load_model_agent(args.checkpoint,
                                      tiny=args.agent == "tiny-model")
             factory = model_factory(agent)
-        if args.record:
-            from simlingo_tpu.sim.runner import run_route
-            records = [run_route(s, factory, seed=i,
-                                 max_steps=args.max_steps,
-                                 record_dir=args.record)
-                       for i, s in enumerate(specs)]
-            checkpoint = {"_checkpoint": {"records": records}}
-            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-            with open(out_path, "w") as f:
-                json.dump(checkpoint, f, indent=1)
-        else:
-            checkpoint = run_routes(specs, factory, out_path=out_path)
+        checkpoint = run_routes(specs, factory, out_path=out_path,
+                                max_steps=args.max_steps,
+                                record_dir=args.record)
     records = checkpoint["_checkpoint"]["records"]
     for r in records:
         inf = {k: len(v) for k, v in r["infractions"].items() if v}
