@@ -11,7 +11,7 @@ echo "=== round-3 sweep $(date -u +%FT%TZ) ===" | tee -a "$LOG"
 run() {
   desc="$1"; shift
   echo "--- $desc" | tee -a "$LOG"
-  timeout 480 env "$@" python bench.py 2>/dev/null \
+  timeout 480 env BENCH_SKIP_PROBE=1 "$@" python bench.py 2>/dev/null \
     | grep '^{' | tee -a "$LOG" || echo "FAILED/TIMEOUT: $desc" | tee -a "$LOG"
 }
 

@@ -158,6 +158,18 @@ class SimMap:
             "speed_limit": lane.speed_limit,
         }
 
+    def route_via(self, points: Sequence[Sequence[float]],
+                  spacing: float = 1.0) -> np.ndarray:
+        """Chain route_between over via points (multi-turn routes across
+        several junctions)."""
+        pts = [np.asarray(p, float)[:2] for p in points]
+        legs = [self.route_between(pts[i], pts[i + 1], spacing)
+                for i in range(len(pts) - 1)]
+        out = [legs[0]]
+        for leg in legs[1:]:
+            out.append(leg[1:] if len(leg) > 1 else leg)
+        return np.concatenate(out, 0)
+
     def in_junction(self, xy: Sequence[float]) -> bool:
         p = np.asarray(xy, float)[:2]
         for poly in self.junctions:
@@ -363,6 +375,72 @@ def crossing_route(town: SimMap, start_s: float, end_s: float,
     remaining = max(end_s - start_s - approach_len - 2.0 * j, 10.0)
     end = lane_out.point_at_s(s_exit_edge + remaining)
     return town.route_between(start, end, spacing=spacing)
+
+
+def grid_town(blocks_x: int = 2, blocks_y: int = 2, block: float = 120.0,
+              lane_width: float = 3.5, lights: bool = True,
+              speed_limit: float = 11.11) -> SimMap:
+    """City grid: (blocks_x+1) x (blocks_y+1) two-way streets with a
+    signalized junction at every intersection -- the microsim's multi-
+    junction town for multi-turn routes (spec "via" waypoints chain
+    through route_between's junction connectors)."""
+    w, hgt = blocks_x * block, blocks_y * block
+    half = 0.5 * lane_width
+    j = 2.0 * lane_width
+    lanes: List[Lane] = []
+    roads: List[Road] = []
+    lid = 0
+    for jy in range(blocks_y + 1):
+        y = jy * block
+        east = Lane(lid, _straight([0, y - half], [w, y - half]),
+                    width=lane_width, speed_limit=speed_limit)
+        west = Lane(lid + 1, _straight([w, y + half], [0, y + half]),
+                    width=lane_width, speed_limit=speed_limit)
+        east.opposite, west.opposite = west.lane_id, east.lane_id
+        lanes += [east, west]
+        roads.append(Road(jy, [east, west]))
+        lid += 2
+    for ix in range(blocks_x + 1):
+        x = ix * block
+        north = Lane(lid, _straight([x + half, 0], [x + half, hgt]),
+                     width=lane_width, speed_limit=speed_limit)
+        south = Lane(lid + 1, _straight([x - half, hgt], [x - half, 0]),
+                     width=lane_width, speed_limit=speed_limit)
+        north.opposite, south.opposite = south.lane_id, north.lane_id
+        lanes += [north, south]
+        roads.append(Road(100 + ix, [north, south]))
+        lid += 2
+    junctions, tls = [], []
+    light_id = 0
+    for ix in range(blocks_x + 1):
+        for jy in range(blocks_y + 1):
+            cx, cy = ix * block, jy * block
+            junctions.append(np.array(
+                [[cx - j, cy - j], [cx + j, cy - j],
+                 [cx + j, cy + j], [cx - j, cy + j]]))
+            if not lights:
+                continue
+            east = roads[jy].lanes[0]
+            west = roads[jy].lanes[1]
+            north = roads[blocks_y + 1 + ix].lanes[0]
+            south = roads[blocks_y + 1 + ix].lanes[1]
+            # approach stop lines at the junction edges; even light ids
+            # (E/W road) share a phase, odd (N/S) take the other
+            tls += [
+                TrafficLightSpot(light_id, east.lane_id,
+                                 np.array([cx - j, cy - half]), 0.0),
+                TrafficLightSpot(light_id + 1, west.lane_id,
+                                 np.array([cx + j, cy + half]), math.pi),
+                TrafficLightSpot(light_id + 2, north.lane_id,
+                                 np.array([cx + half, cy - j]),
+                                 math.pi / 2),
+                TrafficLightSpot(light_id + 3, south.lane_id,
+                                 np.array([cx - half, cy + j]),
+                                 -math.pi / 2),
+            ]
+            light_id += 4
+    return SimMap(roads, junctions=junctions, lights=tls,
+                  name="MicroTown_Grid")
 
 
 def _link_parallel(lanes: List[Lane], lanes_per_dir: int) -> None:

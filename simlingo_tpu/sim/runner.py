@@ -44,6 +44,7 @@ TOWNS = {
     "straight": simmap.straight_town,
     "curved": simmap.curved_town,
     "crossing": simmap.crossing_town,
+    "grid": simmap.grid_town,
 }
 
 
@@ -57,7 +58,14 @@ def build_world(spec: Dict, seed: int = 0
     s0 = float(spec.get("start_s", 5.0))
     s1 = float(spec.get("end_s", lane.length - 5.0))
     turn = spec.get("turn")
-    if turn:
+    scenario_at_offset = -s0          # at_s is lane arc length by default
+    if spec.get("via"):
+        # multi-junction route through explicit via waypoints (grid town);
+        # scenario at_s is then ROUTE arc length
+        route = town.route_via(spec["via"])
+        lane = town.closest_lane(route[0])
+        scenario_at_offset = 0.0
+    elif turn:
         if spec.get("town") != "crossing":
             raise ValueError(
                 f"spec 'turn' is only meaningful on the crossing town, "
@@ -69,13 +77,16 @@ def build_world(spec: Dict, seed: int = 0
     else:
         grid = np.arange(s0, s1, 1.0)
         route = np.stack([lane.point_at_s(s) for s in grid], 0)
-    world.spawn_ego(lane.point_at_s(s0), yaw=lane.yaw_at_s(s0),
+    ego_start = route[0]
+    ego_s, _ = lane.project(ego_start)
+    world.spawn_ego(ego_start, yaw=lane.yaw_at_s(ego_s),
                     speed=float(spec.get("start_speed", 0.0)))
 
     builder = ScenarioBuilder(world, route)
     records = []
     for sc in spec.get("scenarios", []):
-        rec = builder.build(sc["type"], float(sc["at_s"]) - s0,
+        rec = builder.build(sc["type"],
+                            float(sc["at_s"]) + scenario_at_offset,
                             **{k: v for k, v in sc.items()
                                if k not in ("type", "at_s")})
         if rec is not None:
@@ -158,7 +169,7 @@ class ExpertDriver:
     def _light_info(self) -> Tuple[Optional[str], Optional[float]]:
         ego = self.world.ego
         lane = self.world.map.closest_lane(ego.position)
-        light = self.world.light_for_lane(lane.lane_id)
+        light = self.world.light_for_lane(lane.lane_id, ego.position)
         if light is None:
             return None, None
         s_ego, _ = lane.project(ego.position)

@@ -85,6 +85,12 @@ MICROBENCH: List[Dict] = [
      "route_id": "micro_17_junction_left"},
     {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "right",
      "route_id": "micro_18_junction_right"},
+    {"town": "grid", "town_kwargs": {"blocks_x": 2, "blocks_y": 2},
+     "route_id": "micro_19_grid_multiturn",
+     "via": [[10.0, -1.75], [121.75, 60.0], [180.0, 118.25]],
+     "scenarios": [{"type": "ParkedObstacle", "at_s": 60.0}],
+     "npcs": [{"at_s": 30.0, "lane": 8, "speed": 6.0},
+              {"at_s": 100.0, "lane": 3, "speed": 6.0}]},
 ]
 
 

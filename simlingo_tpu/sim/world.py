@@ -105,6 +105,12 @@ class SimWorld:
             s_o, lat_o = vehicle.lane.project(other.position)
             if abs(lat_o) > vehicle.lane.width * 0.6:
                 continue
+            # stationary actors parked at the lane EDGE don't stall
+            # following traffic (background vehicles nudge past them,
+            # as CARLA's traffic manager does)
+            if other.speed < 0.1 and \
+                    abs(lat_o) > vehicle.lane.width * 0.4:
+                continue
             gap = s_o - s_self - vehicle.extent[0] - other.extent[0]
             if 0.0 < gap < 60.0 and (best is None or gap < best[0]):
                 best = (gap, float(other.speed), float(other.extent[0]))
@@ -142,11 +148,26 @@ class SimWorld:
                 hits.append(other)
         return hits
 
-    def light_for_lane(self, lane_id: int) -> Optional[TrafficLight]:
-        for light in self.lights:
-            if light.spot.lane_id == lane_id:
-                return light
-        return None
+    def light_for_lane(self, lane_id: int,
+                       at_xy: Optional[np.ndarray] = None
+                       ) -> Optional[TrafficLight]:
+        """The lane's traffic light; with `at_xy`, the NEXT light ahead of
+        that position along the lane (multi-junction towns have several
+        lights per lane)."""
+        matches = [l for l in self.lights if l.spot.lane_id == lane_id]
+        if not matches:
+            return None
+        if at_xy is None:
+            return matches[0]
+        lane = self.map.lanes[lane_id]
+        s_here, _ = lane.project(at_xy)
+        best, best_d = None, None
+        for light in matches:
+            s_line, _ = lane.project(light.spot.position)
+            d = s_line - s_here
+            if d > -2.0 and (best_d is None or d < best_d):
+                best, best_d = light, d
+        return best
 
     def actor_states(self) -> List[Dict]:
         return [a.state_dict() for a in self.actors if a.alive]

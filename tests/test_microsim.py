@@ -520,3 +520,40 @@ def test_build_world_rejects_bad_turn_specs():
     with pytest.raises(ValueError):
         build_world({"town": "crossing", "turn": "left", "ego_lane": 1,
                      "start_s": 5.0, "end_s": 100.0})
+
+
+def test_grid_town_multiturn_route(tmp_path):
+    """Grid town: a three-street route (east -> north -> east) chains
+    through two junctions via route_via's Hermite connectors; the expert
+    stops at reds (nearest-ahead light selection on multi-light lanes),
+    bypasses a blocker, and both turn commands appear in collected data."""
+    import glob as _glob
+
+    half = 1.75
+    root = str(tmp_path / "d")
+    spec = {"town": "grid", "town_kwargs": {"blocks_x": 2, "blocks_y": 2},
+            "route_id": "Town12_grid",
+            "via": [[10.0, -half], [120.0 + half, 60.0],
+                    [180.0, 120.0 - half]],
+            "scenarios": [{"type": "ParkedObstacle", "at_s": 60.0}],
+            "npcs": [{"at_s": 30.0, "lane": 8, "speed": 6.0}]}
+    rec = run_route(spec, expert_factory(save_root=root,
+                                         dir_name_fmt="Town12_grid"))
+    assert rec["status"] == "Completed", rec["infractions"]
+    assert rec["scores"]["score_composed"] == 100.0, rec["infractions"]
+    cmds = set()
+    for fp in sorted(_glob.glob(os.path.join(
+            root, "Town12_grid", "measurements", "*.json.gz"))):
+        with gzip.open(fp, "rt") as f:
+            cmds.add(json.load(f)["command"])
+    assert 1 in cmds and 2 in cmds, cmds    # left AND right turns
+
+
+def test_grid_light_selection_nearest_ahead():
+    town = simmap.grid_town(blocks_x=2, blocks_y=1)
+    world = SimWorld(town)
+    lane0 = town.lanes[0]              # eastbound street y=0, 3 junctions
+    lights = [l for l in world.lights if l.spot.lane_id == 0]
+    assert len(lights) == 3
+    nxt = world.light_for_lane(0, at_xy=np.array([60.0, -1.75]))
+    assert abs(nxt.spot.position[0] - (120.0 - 7.0)) < 1e-6
