@@ -98,6 +98,11 @@ class Vehicle(Actor):
         self.unblock_trigger_distance: Optional[float] = None
         self.unblock_delay: float = 0.0
         self._unblock_at: Optional[float] = None
+        # cut-in: switch to `cut_in_lane` (pure pursuit merges) once the
+        # ego is within `cut_in_trigger_distance` (HighwayCutIn /
+        # StaticCutIn scenario mechanics)
+        self.cut_in_lane: Optional[Lane] = None
+        self.cut_in_trigger_distance: Optional[float] = None
 
     def drive_tick(self, dt: float, lead: Optional[Tuple[float, float,
                                                          float]],

@@ -215,6 +215,81 @@ class ScenarioBuilder:
         walker.yaw = yaw + math.pi / 2
         return {"first_actor": _actor_rec(walker)}
 
+    def _opposite_vehicle_running_red_light(self, at_s: float,
+                                            trigger_distance: float = 35.0
+                                            ) -> Dict:
+        """A crossing vehicle blows through its red as the ego enters the
+        junction on green (opposite_vehicle_taking_priority.py): scripted
+        straight-line crosser triggered by ego proximity."""
+        pos, yaw = _route_pose(self.route, at_s)
+        n = _left_normal(yaw)
+        w = self.world
+        runner = w.spawn(Vehicle(pos + n * -30.0, yaw=yaw + math.pi / 2,
+                                 speed=0.0, target_speed=10.0,
+                                 type_id="vehicle.dodge.charger_2020",
+                                 color="30,30,30", role="scenario"))
+        runner.behavior = "scripted"
+        runner._trigger = ("dash", trigger_distance, 10.0)
+        return {"first_actor": _actor_rec(runner)}
+
+    def _signalized_junction_left_turn(self, at_s: float) -> Dict:
+        """Oncoming through-traffic while the ego turns left on green
+        (signalized_junction_left_turn.py): constant flow on the opposite
+        lane that the ego's turn path crosses."""
+        w = self.world
+        lane_in = w.map.closest_lane(_route_pose(self.route, 0.0)[0])
+        opp = w.map.lanes.get(lane_in.opposite)
+        first = None
+        if opp is not None:
+            anchor, _ = _route_pose(self.route, at_s)
+            s_a, _ = opp.project(anchor)
+            for k in range(3):
+                s = s_a - 25.0 - 28.0 * k
+                v = w.spawn(Vehicle(opp.point_at_s(s),
+                                    yaw=opp.yaw_at_s(s), speed=7.0,
+                                    lane=opp, target_speed=7.0,
+                                    type_id="vehicle.toyota.prius",
+                                    color="160,160,170",
+                                    role="scenario"))
+                first = first or v
+        return {"first_actor": _actor_rec(first)} if first else None
+
+    def _highway_cut_in(self, at_s: float,
+                        trigger_distance: float = 25.0) -> Dict:
+        """A neighbor-lane vehicle merges into the ego lane just ahead
+        (highway_cut_in.py)."""
+        w = self.world
+        ego_lane = w.map.closest_lane(_route_pose(self.route, 0.0)[0])
+        side = (w.map.neighbor(ego_lane, "right")
+                or w.map.neighbor(ego_lane, "left") or ego_lane)
+        anchor, _ = _route_pose(self.route, at_s)
+        s_a, _ = side.project(anchor)
+        cutter = w.spawn(Vehicle(side.point_at_s(s_a),
+                                 yaw=side.yaw_at_s(s_a), speed=6.0,
+                                 lane=side, target_speed=6.0,
+                                 type_id="vehicle.bmw.grandtourer",
+                                 color="60,90,160", role="scenario"))
+        cutter.cut_in_lane = ego_lane
+        cutter.cut_in_trigger_distance = trigger_distance
+        return {"first_actor": _actor_rec(cutter)}
+
+    def _static_cut_in(self, at_s: float,
+                       trigger_distance: float = 30.0) -> Dict:
+        """A parked vehicle pulls out into the ego lane as the ego closes
+        in (static_cut_in.py): parked at the lane edge, unblocks on
+        proximity and merges to the lane center."""
+        w = self.world
+        ego_lane = w.map.closest_lane(_route_pose(self.route, 0.0)[0])
+        pos, yaw = _route_pose(self.route, at_s)
+        puller = w.spawn(Vehicle(pos + _left_normal(yaw) * -1.6, yaw=yaw,
+                                 behavior="parked", target_speed=5.0,
+                                 type_id="vehicle.ford.mustang",
+                                 color="120,20,20", role="scenario"))
+        puller.unblock_trigger_distance = trigger_distance
+        puller.unblock_delay = 0.0
+        puller.lane = ego_lane
+        return {"first_actor": _actor_rec(puller)}
+
     def _crossing_bicycle_flow(self, at_s: float) -> Dict:
         """Bicycles crossing the junction path (crossing_bicycle_flow.py)."""
         pos, yaw = _route_pose(self.route, at_s)
@@ -244,8 +319,22 @@ def _snake(name: str) -> str:
 
 
 def scripted_tick(world: SimWorld) -> None:
-    """Advance 'scripted' vehicles (straight-line constant speed)."""
+    """Advance 'scripted' vehicles (straight-line constant speed).
+
+    A vehicle with `_trigger = ("dash", distance, speed)` holds still
+    until the ego comes within `distance`, then dashes at `speed`
+    (red-light-runner mechanics)."""
+    ego_pos = world.ego.position if world.ego is not None else None
     for actor in world.actors:
-        if isinstance(actor, Vehicle) and actor.behavior == "scripted" \
-                and actor.alive:
-            actor.position = actor.position + actor.velocity * world.dt
+        if not (isinstance(actor, Vehicle) and actor.behavior == "scripted"
+                and actor.alive):
+            continue
+        trigger = getattr(actor, "_trigger", None)
+        if trigger is not None and ego_pos is not None:
+            kind, dist, speed = trigger
+            if np.linalg.norm(ego_pos - actor.position) < dist:
+                actor.speed = float(speed)
+                actor._trigger = None
+            else:
+                continue
+        actor.position = actor.position + actor.velocity * world.dt

@@ -91,6 +91,19 @@ MICROBENCH: List[Dict] = [
      "scenarios": [{"type": "ParkedObstacle", "at_s": 60.0}],
      "npcs": [{"at_s": 30.0, "lane": 8, "speed": 6.0},
               {"at_s": 100.0, "lane": 3, "speed": 6.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_20_red_runner",
+     "scenarios": [{"type": "OppositeVehicleRunningRedLight",
+                    "at_s": 120.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_21_highway_cut_in",
+     "scenarios": [{"type": "HighwayCutIn", "at_s": 60.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_22_static_cut_in",
+     "scenarios": [{"type": "StaticCutIn", "at_s": 80.0}]},
+    {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "left",
+     "route_id": "micro_23_signalized_left_turn",
+     "scenarios": [{"type": "SignalizedJunctionLeftTurn", "at_s": 138.0}]},
 ]
 
 

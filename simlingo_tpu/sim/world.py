@@ -83,6 +83,13 @@ class SimWorld:
                 if actor._unblock_at is not None \
                         and self.time >= actor._unblock_at:
                     actor.behavior = "drive"
+            if (isinstance(actor, Vehicle)
+                    and actor.cut_in_lane is not None
+                    and np.linalg.norm(ego_pos - actor.position)
+                    < (actor.cut_in_trigger_distance or 0.0)):
+                actor.lane = actor.cut_in_lane
+                actor.cut_in_lane = None
+                actor.behavior = "drive"
             if isinstance(actor, Vehicle) and actor.behavior == "drive":
                 lead = self._leading(actor)
                 stop_at = self._stop_distance(actor)

@@ -557,3 +557,60 @@ def test_grid_light_selection_nearest_ahead():
     assert len(lights) == 3
     nxt = world.light_for_lane(0, at_xy=np.array([60.0, -1.75]))
     assert abs(nxt.spot.position[0] - (120.0 - 7.0)) < 1e-6
+
+
+@pytest.mark.parametrize("name,at_s", [
+    ("OppositeVehicleRunningRedLight", 120.0),
+    ("HighwayCutIn", 60.0),
+    ("StaticCutIn", 80.0),
+])
+def test_expert_drives_dynamic_cutin_scenarios(name, at_s):
+    rec = run_route(_expert_spec(name, at_s), expert_factory())
+    assert rec["status"] == "Completed", (name, rec["infractions"])
+    assert rec["scores"]["score_composed"] == 100.0, (
+        name, rec["infractions"])
+
+
+def test_expert_left_turn_through_oncoming_flow():
+    spec = {"town": "crossing", "start_s": 5.0, "end_s": 260.0,
+            "turn": "left", "route_id": "sigleft",
+            "scenarios": [{"type": "SignalizedJunctionLeftTurn",
+                           "at_s": 138.0}]}
+    rec = run_route(spec, expert_factory())
+    assert rec["status"] == "Completed", rec["infractions"]
+    assert not rec["infractions"]["collisions_vehicle"]
+
+
+def test_cut_in_actually_merges_and_red_runner_dashes():
+    """The scenario mechanics must fire: the cut-in vehicle ends up in
+    the ego lane, and the red-light runner crosses the ego path (a
+    non-braking scripted ego collides with it)."""
+    from simlingo_tpu.sim.actors import Vehicle
+
+    # cut-in merge check
+    spec = {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+            "route_id": "cutin",
+            "scenarios": [{"type": "HighwayCutIn", "at_s": 60.0}]}
+    world, route, recs = build_world(spec)
+    ego_lane = world.map.closest_lane(world.ego.position)
+    cutter = [a for a in world.actors
+              if isinstance(a, Vehicle) and a.role == "scenario"][0]
+    agent = _Scripted(throttle=0.6)
+    merged = False
+    for _ in range(900):
+        world.apply_ego_control(*agent.step())
+        world.tick()
+        _, lat = ego_lane.project(cutter.position)
+        if abs(lat) < 0.6:
+            merged = True
+            break
+    assert merged, "cut-in vehicle never entered the ego lane"
+
+    # red-runner collision check against a non-yielding ego
+    spec2 = {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+             "route_id": "redrun2",
+             "scenarios": [{"type": "OppositeVehicleRunningRedLight",
+                            "at_s": 100.0}]}
+    rec = run_route(spec2, lambda w, r, s: _Scripted(0.5), max_steps=900)
+    assert rec["infractions"]["collisions_vehicle"], \
+        "runner never crossed the scripted ego's path"
