@@ -61,6 +61,13 @@ class RouteCriteria:
         self._light_armed: Dict[int, bool] = {}
         self._stop_pending: Dict[int, bool] = {}
         self._stop_satisfied: Dict[int, bool] = {}
+        # MinimumSpeedRouteTest (:1957-2083): ego vs background-traffic
+        # mean speed per checkpoint (recorded, not penalized in B2D DS;
+        # feeds the efficiency benchmark)
+        self._minspeed_ego = 0.0
+        self._minspeed_traffic = 0.0
+        self._minspeed_points = 0
+        self._minspeed_next_cp = self.route_length  # checkpoints=1
         self.finished: Optional[str] = None     # terminal status string
 
     # -- helpers -------------------------------------------------------------
@@ -147,6 +154,17 @@ class RouteCriteria:
                         f"y={stop.position[1]:.3f}, z=0.0) "
                         f"at Frame: {world.frame}")
 
+        # min-speed vs background traffic (sampled only while moving
+        # background vehicles exist, MinimumSpeedRouteTest :2039-2052)
+        background = [a for a in world.actors
+                      if a.alive and a.role == "npc"
+                      and a.base_type not in ("walker", "static")]
+        if background:
+            self._minspeed_traffic += sum(a.speed for a in background) \
+                / len(background)
+            self._minspeed_ego += ego.speed
+            self._minspeed_points += 1
+
         # outside driving lanes (meters driven while off driving lanes)
         if self._last_pos is not None:
             step = float(np.linalg.norm(ego.position - self._last_pos))
@@ -203,6 +221,18 @@ class RouteCriteria:
         from simlingo_tpu.eval.driving_score import PENALTIES
 
         infractions = dict(self.infractions)
+        # min-speed checkpoint event (checkpoints=1: one per route when
+        # background traffic was present; message format consumed by
+        # eval/b2d_benchmarks.driving_efficiency)
+        if self._minspeed_points > 0 and self._minspeed_traffic > 0:
+            pct = round(100.0 * (self._minspeed_ego
+                                 / self._minspeed_points)
+                        / (self._minspeed_traffic
+                           / self._minspeed_points), 2)
+            infractions["min_speed_infractions"] = \
+                list(infractions.get("min_speed_infractions", [])) + [
+                    f"Average speed is {pct}% of the surrounding "
+                    f"traffic's one"]
         # outside_route_lanes carries (meters, percent) in its message
         if self._outside_meters > 0.05:
             pct = 100.0 * self._outside_meters / max(self.route_length,

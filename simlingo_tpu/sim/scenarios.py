@@ -58,6 +58,20 @@ class ScenarioBuilder:
         self.world = world
         self.route = np.asarray(route, float)[:, :2]
 
+    def _bypass_direction(self, at_s: float) -> str:
+        """Side to overtake a blocker on: prefer a same-direction
+        neighbor lane (the reference's multi-lane Accident/Construction
+        re-plan through available lanes); fall back to the oncoming side
+        (TwoWays geometry) when the road has one lane per direction."""
+        lane = self.world.map.closest_lane(_route_pose(self.route,
+                                                       at_s)[0])
+        if self.world.map.neighbor(lane, "right") is not None and \
+                self.world.map.lanes[lane.right].lane_type == "driving":
+            return "right"
+        if lane.left is not None:
+            return "left"
+        return "left"
+
     def build(self, name: str, at_s: float, **kw) -> Optional[Dict]:
         fn = getattr(self, "_" + _snake(name), None)
         if fn is None:
@@ -80,20 +94,24 @@ class ScenarioBuilder:
                                type_id="vehicle.carlamotors.firetruck",
                                base_type="truck", extent=(4.2, 1.4),
                                color="200,30,30", role="scenario"))
-        # warning cones along the roadside BEHIND/BESIDE the wreck (the
-        # overtake happens on the left; cones keep to the right edge,
-        # reference accident.py cone placement)
+        # warning cones along the roadside BEHIND/BESIDE the wreck on the
+        # side OPPOSITE the overtake corridor (reference accident.py cone
+        # placement funnels traffic toward the open side)
+        direction = "left" if two_ways \
+            else self._bypass_direction(at_s)
+        cone_side = -1.4 if direction == "left" else 1.4
         for ds in (-6.0, 4.0, 14.0):
             p, y = _route_pose(self.route, at_s + ds)
-            w.spawn(static_prop(p + _left_normal(y) * -1.4, yaw=y))
+            w.spawn(static_prop(p + _left_normal(y) * cone_side, yaw=y))
         return {"first_actor": _actor_rec(first),
                 "last_actor": _actor_rec(last),
-                "direction": "left"}
+                "direction": direction}
 
     def _accident_two_ways(self, at_s: float) -> Dict:
         return self._accident(at_s, two_ways=True)
 
-    def _construction_obstacle(self, at_s: float) -> Dict:
+    def _construction_obstacle(self, at_s: float,
+                              two_ways: bool = False) -> Dict:
         pos, yaw = _route_pose(self.route, at_s)
         w = self.world
         first = w.spawn(static_prop(
@@ -108,20 +126,25 @@ class ScenarioBuilder:
             w.spawn(static_prop(p + _left_normal(y)
                                 * (0.8 * math.sin(ds)), yaw=y))
         return {"first_actor": _actor_rec(first),
-                "last_actor": _actor_rec(last), "direction": "left"}
+                "last_actor": _actor_rec(last),
+                "direction": "left" if two_ways
+                else self._bypass_direction(at_s)}
 
     def _construction_obstacle_two_ways(self, at_s: float) -> Dict:
-        return self._construction_obstacle(at_s)
+        return self._construction_obstacle(at_s, two_ways=True)
 
-    def _parked_obstacle(self, at_s: float) -> Dict:
+    def _parked_obstacle(self, at_s: float,
+                         two_ways: bool = False) -> Dict:
         pos, yaw = _route_pose(self.route, at_s)
         first = self.world.spawn(Vehicle(
             pos + _left_normal(yaw) * -0.9, yaw=yaw, behavior="parked",
             type_id="vehicle.audi.tt", color="60,60,160", role="scenario"))
-        return {"first_actor": _actor_rec(first), "direction": "left"}
+        return {"first_actor": _actor_rec(first),
+                "direction": "left" if two_ways
+                else self._bypass_direction(at_s)}
 
     def _parked_obstacle_two_ways(self, at_s: float) -> Dict:
-        return self._parked_obstacle(at_s)
+        return self._parked_obstacle(at_s, two_ways=True)
 
     def _vehicle_opens_door_two_ways(self, at_s: float) -> Dict:
         pos, yaw = _route_pose(self.route, at_s)

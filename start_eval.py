@@ -87,6 +87,30 @@ def main():
     print("jobs:", counts)
 
     summary = merge_route_dir(args.output_dir)
+    # ability / efficiency breakdown when records carry scenario types
+    # (microsim records always do; CARLA records via --route-scenarios
+    # on eval/b2d_benchmarks directly)
+    try:
+        from simlingo_tpu.eval.b2d_benchmarks import (ability_benchmark,
+                                                      driving_efficiency)
+        records = []
+        for path in sorted(glob.glob(os.path.join(args.output_dir,
+                                                  "*.json"))):
+            if path.endswith("merged.json"):
+                continue
+            with open(path) as f:
+                data = json.load(f)
+            records.extend(data.get("_checkpoint", {}).get("records",
+                                                           [data]))
+        ab = ability_benchmark(records)
+        if any(v is not None for v in ab["ability"].values()):
+            summary["ability"] = ab["ability"]
+            summary["ability_mean"] = ab["ability_mean"]
+        eff = driving_efficiency(records)
+        if eff is not None:
+            summary["driving_efficiency"] = eff
+    except Exception as exc:  # analysis must never fail the eval run
+        print(f"ability breakdown skipped: {exc}")
     print(json.dumps(summary, indent=2))
     with open(os.path.join(args.output_dir, "merged.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -614,3 +614,41 @@ def test_cut_in_actually_merges_and_red_runner_dashes():
     rec = run_route(spec2, lambda w, r, s: _Scripted(0.5), max_steps=900)
     assert rec["infractions"]["collisions_vehicle"], \
         "runner never crossed the scripted ego's path"
+
+
+def test_min_speed_event_and_bypass_through_traffic():
+    """MinimumSpeedRouteTest counterpart: routes with background traffic
+    emit the 'Average speed is X%' event feeding driving_efficiency; the
+    blocker bypass must use the free same-direction lane (topology-based
+    direction) so traffic doesn't deadlock the route."""
+    from simlingo_tpu.eval.b2d_benchmarks import driving_efficiency
+
+    spec = {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+            "route_id": "traffic",
+            "scenarios": [{"type": "Accident", "at_s": 110.0}],
+            "npcs": [{"at_s": 60.0, "lane": 1, "speed": 7.0},
+                     {"at_s": 120.0, "lane": 2, "speed": 7.0}]}
+    rec = run_route(spec, expert_factory())
+    assert rec["status"] == "Completed", rec["infractions"]
+    assert rec["scores"]["score_composed"] == 100.0
+    msgs = rec["infractions"]["min_speed_infractions"]
+    assert len(msgs) == 1 and "% of the surrounding traffic" in msgs[0]
+    eff = driving_efficiency([rec])
+    assert 20.0 < eff <= 150.0
+    # DS unaffected: Bench2Drive disables the min-speed penalty
+    assert rec["scores"]["score_penalty"] == 1.0
+
+
+def test_bypass_direction_from_topology():
+    from simlingo_tpu.sim.scenarios import ScenarioBuilder
+
+    # two forward lanes: bypass right (same direction)
+    spec = {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+            "route_id": "x",
+            "scenarios": [{"type": "Accident", "at_s": 110.0}]}
+    _, _, recs = build_world(spec)
+    assert recs[0]["direction"] == "right"
+    # single lane per direction: bypass left through oncoming
+    spec["town_kwargs"] = {"lanes_per_dir": 1}
+    _, _, recs = build_world(spec)
+    assert recs[0]["direction"] == "left"
