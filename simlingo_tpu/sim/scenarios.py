@@ -313,6 +313,30 @@ class ScenarioBuilder:
         puller.lane = ego_lane
         return {"first_actor": _actor_rec(puller)}
 
+    def _parking_crossing_pedestrian(self, at_s: float,
+                                     trigger_distance: float = 16.0
+                                     ) -> Dict:
+        """A pedestrian steps out from BETWEEN parked cars
+        (parking_crossing_pedestrian.py): occluded until late, so the
+        brake reaction is harder than the open crossing."""
+        w = self.world
+        n = None
+        for ds in (-7.0, 0.0, 7.0):
+            pos, yaw = _route_pose(self.route, at_s + ds)
+            n = _left_normal(yaw)
+            w.spawn(Vehicle(pos + n * -2.8, yaw=yaw, behavior="parked",
+                            type_id="vehicle.seat.leon",
+                            color="90,90,90", role="scenario"))
+        pos, yaw = _route_pose(self.route, at_s + 3.5)
+        n = _left_normal(yaw)
+        start = pos + n * -2.8           # between the parked cars
+        path = np.stack([pos + n * -1.2, pos + n * 4.0], 0)
+        walker = w.spawn(Walker(start, path=path,
+                                trigger_distance=trigger_distance,
+                                role="scenario"))
+        walker.yaw = yaw + math.pi / 2
+        return {"first_actor": _actor_rec(walker)}
+
     def _crossing_bicycle_flow(self, at_s: float) -> Dict:
         """Bicycles crossing the junction path (crossing_bicycle_flow.py)."""
         pos, yaw = _route_pose(self.route, at_s)

@@ -104,6 +104,9 @@ MICROBENCH: List[Dict] = [
     {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "left",
      "route_id": "micro_23_signalized_left_turn",
      "scenarios": [{"type": "SignalizedJunctionLeftTurn", "at_s": 138.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_24_parking_crossing_ped",
+     "scenarios": [{"type": "ParkingCrossingPedestrian", "at_s": 110.0}]},
 ]
 
 

@@ -138,6 +138,7 @@ def test_expert_completes_empty_route():
     ("CrossingBicycleFlow", 130.0),
     ("BlockedIntersection", 120.0),
     ("DynamicObjectCrossing", 120.0),
+    ("ParkingCrossingPedestrian", 110.0),
 ])
 def test_expert_drives_scenario_clean(name, at_s):
     rec = run_route(_expert_spec(name, at_s), expert_factory())
