@@ -253,11 +253,13 @@ def main():
     }))
 
 
-def _device_reachable(timeout_s: float = 90.0) -> bool:
-    """Probe the chip in a subprocess. The axon tunnel can wedge for HOURS
-    after a crashed program (docs/KNOWN_ISSUES.md) and a wedged device
-    hangs every op -- a bench that never prints is worse than an honest
-    error line."""
+def _device_reachable(timeout_s: float = 90.0):
+    """Probe the chip in a subprocess; None = healthy, else an error
+    string distinguishing a wedged tunnel (timeout) from a crashing
+    runtime (nonzero exit, last stderr line included). The axon tunnel
+    can wedge for HOURS after a crashed program (docs/KNOWN_ISSUES.md)
+    and a wedged device hangs every op -- a bench that never prints is
+    worse than an honest error line."""
     import subprocess
     code = ("import jax, jax.numpy as jnp;"
             "x = jnp.ones((128, 128), jnp.bfloat16);"
@@ -265,21 +267,27 @@ def _device_reachable(timeout_s: float = 90.0) -> bool:
     try:
         r = subprocess.run([sys.executable, "-c", code],
                            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
+        if r.returncode == 0:
+            return None
+        tail = r.stderr.decode(errors="replace").strip().splitlines()
+        return ("device_probe_failed (exit "
+                f"{r.returncode}): {tail[-1] if tail else 'no stderr'}")
     except subprocess.TimeoutExpired:
-        return False
+        return (f"tpu_tunnel_unreachable (wedged; trivial matmul timed "
+                f"out after {timeout_s:.0f}s)")
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_SKIP_PROBE", "0") != "1" \
-            and not _device_reachable():
+    probe_error = None
+    if os.environ.get("BENCH_SKIP_PROBE", "0") != "1":
+        probe_error = _device_reachable()
+    if probe_error is not None:
         # honest failure line (value 0), with the last chip-measured
         # number for context -- see docs/BENCH_NOTES.md round 3
         print(json.dumps({
             "metric": "train_samples_per_sec_per_chip",
             "value": 0.0, "unit": "samples/s", "vs_baseline": 0.0,
-            "error": "tpu_tunnel_unreachable (wedged; trivial matmul "
-                     "timed out after 90s)",
+            "error": probe_error,
             "last_measured_samples_per_sec": 15.6,
         }))
         sys.exit(0)

@@ -157,21 +157,21 @@ def main():
     ap.add_argument("--skip-untrained", action="store_true")
     args = ap.parse_args()
 
-    print("[1/4] collecting expert routes in the microsim ...")
+    print("[1/5] collecting expert routes in the microsim ...")
     collect(args.workdir, args.routes)
-    print("[2/4] generating commentary/VQA/dreamer labels ...")
+    print("[2/5] generating commentary/VQA/dreamer labels ...")
     label(args.workdir)
     cfg, tok = tiny_cfg(args.workdir, args.steps)
     if not args.skip_untrained:
-        print("[3/4] untrained baseline ...")
+        print("[3/5] untrained closed-loop baseline ...")
         params0 = simlingo.init_params(jax.random.PRNGKey(0), cfg.model)
         evaluate(params0, cfg.model, tok, "  untrained:")
-    print(f"[3/4] training {args.steps} steps ...")
+    print(f"[4/5] training {args.steps} steps ...")
     t0 = time.time()
     result = trainer.train(cfg)
     print(f"  done in {time.time() - t0:.0f}s, "
           f"loss={float(result['metrics']['loss']):.3f}")
-    print("[4/4] closed-loop evaluation of the trained agent ...")
+    print("[5/5] closed-loop evaluation of the trained agent ...")
     evaluate(result["state"]["params"], cfg.model, tok, "  trained:")
 
 

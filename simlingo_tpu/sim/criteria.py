@@ -67,7 +67,6 @@ class RouteCriteria:
         self._minspeed_ego = 0.0
         self._minspeed_traffic = 0.0
         self._minspeed_points = 0
-        self._minspeed_next_cp = self.route_length  # checkpoints=1
         self.finished: Optional[str] = None     # terminal status string
 
     # -- helpers -------------------------------------------------------------

@@ -163,6 +163,9 @@ class SimMap:
         """Chain route_between over via points (multi-turn routes across
         several junctions)."""
         pts = [np.asarray(p, float)[:2] for p in points]
+        if len(pts) < 2:
+            raise ValueError(
+                f"route_via needs at least 2 via points, got {len(pts)}")
         legs = [self.route_between(pts[i], pts[i + 1], spacing)
                 for i in range(len(pts) - 1)]
         out = [legs[0]]
@@ -424,8 +427,10 @@ def grid_town(blocks_x: int = 2, blocks_y: int = 2, block: float = 120.0,
             west = roads[jy].lanes[1]
             north = roads[blocks_y + 1 + ix].lanes[0]
             south = roads[blocks_y + 1 + ix].lanes[1]
-            # approach stop lines at the junction edges; even light ids
-            # (E/W road) share a phase, odd (N/S) take the other
+            # approach stop lines at the junction edges; ids base+0/+1
+            # are the E/W approaches and base+2/+3 the N/S ones, so
+            # SimWorld's (light_id // 2) % 2 phase rule puts crossing
+            # roads on opposite phases
             tls += [
                 TrafficLightSpot(light_id, east.lane_id,
                                  np.array([cx - j, cy - half]), 0.0),

@@ -65,11 +65,9 @@ class ScenarioBuilder:
         (TwoWays geometry) when the road has one lane per direction."""
         lane = self.world.map.closest_lane(_route_pose(self.route,
                                                        at_s)[0])
-        if self.world.map.neighbor(lane, "right") is not None and \
-                self.world.map.lanes[lane.right].lane_type == "driving":
+        right = self.world.map.neighbor(lane, "right")
+        if right is not None and right.lane_type == "driving":
             return "right"
-        if lane.left is not None:
-            return "left"
         return "left"
 
     def build(self, name: str, at_s: float, **kw) -> Optional[Dict]:

@@ -112,11 +112,14 @@ class SimWorld:
             s_o, lat_o = vehicle.lane.project(other.position)
             if abs(lat_o) > vehicle.lane.width * 0.6:
                 continue
-            # stationary actors parked at the lane EDGE don't stall
-            # following traffic (background vehicles nudge past them,
-            # as CARLA's traffic manager does)
+            # stationary actors parked far enough toward the lane EDGE
+            # that the follower physically fits past don't stall traffic
+            # (background vehicles nudge by, as CARLA's TM does) -- free
+            # width check uses both OBB half-widths plus a margin so
+            # followers never drive through an overlapping corner
             if other.speed < 0.1 and \
-                    abs(lat_o) > vehicle.lane.width * 0.4:
+                    abs(lat_o) - other.extent[1] \
+                    >= vehicle.extent[1] + 0.3:
                 continue
             gap = s_o - s_self - vehicle.extent[0] - other.extent[0]
             if 0.0 < gap < 60.0 and (best is None or gap < best[0]):

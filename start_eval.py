@@ -89,16 +89,22 @@ def main():
     summary = merge_route_dir(args.output_dir)
     # ability / efficiency breakdown when records carry scenario types
     # (microsim records always do; CARLA records via --route-scenarios
-    # on eval/b2d_benchmarks directly)
+    # on eval/b2d_benchmarks directly). Reads the same file set
+    # merge_route_dir covers (*.json AND *.json.gz).
     try:
+        import gzip
+
         from simlingo_tpu.eval.b2d_benchmarks import (ability_benchmark,
                                                       driving_efficiency)
         records = []
-        for path in sorted(glob.glob(os.path.join(args.output_dir,
-                                                  "*.json"))):
-            if path.endswith("merged.json"):
+        paths = sorted(glob.glob(os.path.join(args.output_dir, "*.json"))
+                       + glob.glob(os.path.join(args.output_dir,
+                                                "*.json.gz")))
+        for path in paths:
+            if os.path.basename(path) == "merged.json":
                 continue
-            with open(path) as f:
+            opener = gzip.open if path.endswith(".gz") else open
+            with opener(path, "rt") as f:
                 data = json.load(f)
             records.extend(data.get("_checkpoint", {}).get("records",
                                                            [data]))
