@@ -358,23 +358,38 @@ def spice(preds: Sequence[str], refs: Sequence[str]) -> float:
 
 def gpt_judge(preds: Sequence[str], refs: Sequence[str],
               model: str = "gpt-4o", api_key: Optional[str] = None,
-              base_url: Optional[str] = None) -> Optional[float]:
-    """Average 0-100 judge score; returns None when no endpoint configured."""
+              base_url: Optional[str] = None,
+              max_workers: int = 16) -> Optional[float]:
+    """Average 0-100 judge score; returns None when no endpoint configured.
+
+    Requests fan out over a 16-thread pool (the reference's eval_metrics.py:110
+    uses Pool(16) for the same reason: judge latency dominates, the calls are
+    independent). A request that errors or returns a non-numeric score is
+    dropped from the mean, matching the serial behavior.
+    """
     api_key = api_key or os.environ.get("OPENAI_API_KEY")
     if not api_key:
         return None
+    from concurrent.futures import ThreadPoolExecutor
     from openai import OpenAI
     client = OpenAI(api_key=api_key, base_url=base_url)
-    scores = []
-    for p, r in zip(preds, refs):
+
+    def one(pair):
+        p, r = pair
         resp = client.chat.completions.create(
             model=model,
             messages=[{"role": "user", "content": JUDGE_PROMPT.format(
                 answer=r, prediction=p)}])
-        try:
-            scores.append(float(resp.choices[0].message.content.strip()))
-        except ValueError:
-            continue
+        return float(resp.choices[0].message.content.strip())
+
+    pairs = list(zip(preds, refs))
+    scores = []
+    with ThreadPoolExecutor(max_workers=min(max_workers, max(1, len(pairs)))) as ex:
+        for fut in [ex.submit(one, pair) for pair in pairs]:
+            try:
+                scores.append(fut.result())
+            except Exception:
+                continue
     return float(np.mean(scores)) if scores else None
 
 

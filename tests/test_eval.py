@@ -114,3 +114,61 @@ def test_spice_scene_tuples_and_f1():
     mid = spice(["The ego vehicle stops for the red traffic light."],
                 ["The ego vehicle stops for the stop sign."])
     assert 0.2 < mid < 1.0
+
+
+def test_gpt_judge_threaded(monkeypatch):
+    """gpt_judge fans requests over a thread pool (reference
+    eval_metrics.py:110 uses Pool(16)); failing/non-numeric responses are
+    dropped from the mean."""
+    import sys
+    import threading
+    import types
+
+    calls = {"n": 0, "threads": set()}
+    lock = threading.Lock()
+
+    class _Msg:
+        def __init__(self, content):
+            self.content = content
+
+    class _Choice:
+        def __init__(self, content):
+            self.message = _Msg(content)
+
+    class _Resp:
+        def __init__(self, content):
+            self.choices = [_Choice(content)]
+
+    class _Completions:
+        def create(self, model, messages):
+            with lock:
+                calls["n"] += 1
+                calls["threads"].add(threading.get_ident())
+                i = calls["n"]
+            if i == 3:
+                raise RuntimeError("transient API error")
+            if i == 4:
+                return _Resp("not a number")
+            return _Resp("80")
+
+    class _Chat:
+        completions = _Completions()
+
+    class _Client:
+        def __init__(self, api_key=None, base_url=None):
+            self.chat = _Chat()
+
+    fake = types.ModuleType("openai")
+    fake.OpenAI = _Client
+    monkeypatch.setitem(sys.modules, "openai", fake)
+    monkeypatch.setenv("OPENAI_API_KEY", "test-key")
+
+    preds = [f"pred {i}" for i in range(6)]
+    refs = [f"ref {i}" for i in range(6)]
+    score = M.gpt_judge(preds, refs)
+    assert calls["n"] == 6
+    # 2 of 6 dropped (error + non-numeric); remaining 4 all scored 80
+    assert score == 80.0
+
+    monkeypatch.delenv("OPENAI_API_KEY")
+    assert M.gpt_judge(preds, refs) is None
