@@ -52,6 +52,12 @@ def idm_target_speed(desired_speed: float, leading_actor_length: float,
     cfg = cfg or IDMConfig()
     s0 = cfg.s0 if s0 is None else s0
     T = cfg.T if T is None else T
+    # inside the minimum net gap the IDM answer is "stop" -- integrating
+    # there is numerically stiff (s -> 0 drives dv/dt unbounded and RK45
+    # into thousands of micro-steps per call)
+    if (distance_to_leading_actor - leading_actor_length
+            <= max(0.5 * s0, 0.5) and leading_actor_speed < 0.5):
+        return 0.0
     a = cfg.maximum_acceleration
     b = (cfg.comfortable_braking_deceleration_high_speed
          if ego_speed > cfg.comfortable_braking_deceleration_threshold
@@ -60,17 +66,24 @@ def idm_target_speed(desired_speed: float, leading_actor_length: float,
 
     def equations(t, x):
         ego_position, v = x
+        # the IDM is defined for v >= 0; clamping keeps the ODE smooth
+        # when a near-zero gap makes it stiff (RK45 would otherwise
+        # chase an unbounded-deceleration transient with micro-steps)
+        v = float(np.clip(v, 0.0, 60.0))
         speed_diff = v - leading_actor_speed
         s_star = s0 + v * T + v * speed_diff / 2.0 / math.sqrt(a * b)
         s = max(0.1, distance_to_leading_actor + t * leading_actor_speed
                 - ego_position - leading_actor_length)
         dvdt = a * (1.0 - (v / max(desired_speed, 1e-6)) ** delta
                     - (s_star / s) ** 2)
-        return [v, dvdt]
+        return [v, float(np.clip(dvdt, -200.0, 200.0))]
 
     rk45 = RK45(fun=equations, t0=0.0, y0=[0.0, ego_speed],
                 t_bound=cfg.t_bound)
-    while rk45.status == "running":
+    # bounded integration: a stiff transient must not stall the tick
+    for _ in range(256):
+        if rk45.status != "running":
+            break
         rk45.step()
     return float(np.clip(rk45.y[1], 0.0, np.inf))
 

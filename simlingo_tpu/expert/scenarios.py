@@ -49,7 +49,10 @@ class ScenarioConfig:
     add_before_two_ways_m: float = -1.0
     add_after_two_ways_m: Dict = dataclasses.field(default_factory=lambda: {
         "AccidentTwoWays": 0.0, "ConstructionObstacleTwoWays": 2.5,
-        "ParkedObstacleTwoWays": -0.5, "VehicleOpensDoorTwoWays": -0.5})
+        "ParkedObstacleTwoWays": -0.5, "VehicleOpensDoorTwoWays": -0.5,
+        # slow-moving convoy: span must cover the blockers' drift during
+        # the overtake (they advance at ~2 m/s while the ego passes)
+        "SequentialLaneChange": 35.0})
     # speed-profile fit used to estimate time-to-cover-distance
     # (reference compute_min_time_to_cover_distance_params)
     min_time_params: Tuple[float, ...] = (
@@ -249,6 +252,25 @@ class ScenarioManager:
                             cfg.distance_to_delete_two_ways_m
                             / self.planner.spacing):
                         done.append(rec)
+
+            elif typ == "SequentialLaneChange":
+                # two consecutive lane changes around a staggered slow
+                # convoy (reference sequential_lane_change.py): one
+                # smooth shift of `lanes` widths across the whole span
+                # (the profile's ramps land on the intermediate lane
+                # mid-transition, which is exactly the sequential
+                # maneuver)
+                if dist_first < cfg.default_max_distance_to_process \
+                        and not rec["changed_route"]:
+                    i0, i1 = self._span(rec)
+                    side = 1.0 if rec.get("direction", "left") == "left" \
+                        else -1.0
+                    lanes_n = float(rec.get("lanes", 2))
+                    self.planner.shift_route_between(
+                        i0, i1, side * cfg.lane_width * lanes_n,
+                        2.0 * cfg.transition_smoothness_m)
+                    rec["changed_route"] = True
+                    rec["from_idx"], rec["to_idx"] = i0, i1
 
             elif typ in ("HazardAtSideLane", "HazardAtSideLaneTwoWays"):
                 lim = (cfg.max_distance_hazard_side_lane_two_ways

@@ -103,6 +103,15 @@ class Vehicle(Actor):
         # StaticCutIn scenario mechanics)
         self.cut_in_lane: Optional[Lane] = None
         self.cut_in_trigger_distance: Optional[float] = None
+        # HardBreakRoute mechanics: a driving lead that slams to a stop
+        # once the ego closes within `brake_trigger_distance`, holds for
+        # `brake_hold` seconds, then resumes (reference srunner
+        # HardBreakRoute: the leading actor brakes hard on a route
+        # trigger and continues after a timeout)
+        self.brake_trigger_distance: Optional[float] = None
+        self.brake_hold: float = 4.0
+        self._brake_resume: Optional[float] = None
+        self._resume_target: float = target_speed
 
     def drive_tick(self, dt: float, lead: Optional[Tuple[float, float,
                                                          float]],
@@ -123,9 +132,14 @@ class Vehicle(Actor):
                 desired, 2.0 * lead_half, self.speed, lead_speed,
                 max(gap, 0.1), self._idm))
         if stop_at is not None:
-            desired = min(desired, idm_target_speed(
-                desired, 0.0, self.speed, 0.0, max(stop_at, 0.05),
-                self._idm, s0=2.0, T=0.1))
+            if stop_at < 1.0:
+                # at (or fractionally past) the stop line: hold, don't
+                # integrate the IDM into its stiff near-zero-gap regime
+                desired = 0.0
+            else:
+                desired = min(desired, idm_target_speed(
+                    desired, 0.0, self.speed, 0.0, stop_at,
+                    self._idm, s0=2.0, T=0.1))
         # longitudinal: simple proportional throttle/brake to the IDM speed
         err = desired - self.speed
         throttle = float(np.clip(err * 0.8, 0.0, 0.75))

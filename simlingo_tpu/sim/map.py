@@ -313,11 +313,17 @@ def curved_town(radius: float = 120.0, arc_deg: float = 120.0,
 def crossing_town(arm: float = 150.0, lane_width: float = 3.5,
                   lights: bool = True,
                   stop_sign: bool = False,
+                  t_junction: bool = False,
                   speed_limit: float = 11.11) -> SimMap:
     """Signalized 4-way crossing at the origin; ego route runs +x.
 
     The junction square spans [-j, j]^2 with j = 2 * lane_width; each
     through-lane runs arm->arm so route geometry is continuous.
+
+    t_junction=True drops the NORTH arm (the side road joins from the
+    south only), turning the crossing into a T junction (reference
+    T_Junction scenario geometry): lane 2 (northbound) ends at the
+    junction's south edge, lane 3 (southbound) starts there.
     """
     j = 2.0 * lane_width
     lanes: List[Lane] = []
@@ -328,27 +334,78 @@ def crossing_town(arm: float = 150.0, lane_width: float = 3.5,
     lanes.append(Lane(1, _straight([arm, y_b], [-arm, y_b]),
                       width=lane_width, speed_limit=speed_limit))
     # north-south road: forward -y->+y at x>0 side
-    lanes.append(Lane(2, _straight([y_b, -arm], [y_b, arm]),
+    n_top = -j if t_junction else arm
+    lanes.append(Lane(2, _straight([y_b, -arm], [y_b, n_top]),
                       width=lane_width, speed_limit=speed_limit))
-    lanes.append(Lane(3, _straight([y_f, arm], [y_f, -arm]),
+    lanes.append(Lane(3, _straight([y_f, n_top], [y_f, -arm]),
                       width=lane_width, speed_limit=speed_limit))
     for lane in lanes:
         lane.opposite = {0: 1, 1: 0, 2: 3, 3: 2}[lane.lane_id]
     junction = np.array([[-j, -j], [j, -j], [j, j], [-j, j]])
     tls, stops = [], []
     if lights:
-        # one light per approach; stop line at the junction edge
+        # one light per approach; stop line at the junction edge (a T
+        # junction has no northern approach -> no light 3)
         tls = [
             TrafficLightSpot(0, 0, np.array([-j, y_f]), 0.0),
             TrafficLightSpot(1, 1, np.array([j, y_b]), math.pi),
             TrafficLightSpot(2, 2, np.array([y_b, -j]), math.pi / 2),
-            TrafficLightSpot(3, 3, np.array([y_f, j]), -math.pi / 2),
         ]
+        if not t_junction:
+            tls.append(TrafficLightSpot(3, 3, np.array([y_f, j]),
+                                        -math.pi / 2))
     if stop_sign:
         stops = [StopSignSpot(0, 0, np.array([-j - 1.0, y_f]), 0.0)]
     return SimMap([Road(0, lanes[:2]), Road(1, lanes[2:])],
                   junctions=[junction], lights=tls, stops=stops,
-                  name="MicroTown_Crossing")
+                  name="MicroTown_TJunction" if t_junction
+                  else "MicroTown_Crossing")
+
+
+def highway_town(length: float = 500.0, lanes_per_dir: int = 2,
+                 lane_width: float = 3.5, ramp: str = "exit",
+                 ramp_at: float = 250.0, ramp_len: float = 70.0,
+                 ramp_offset: float = 6.0,
+                 speed_limit: float = 13.89) -> SimMap:
+    """Straight multi-lane highway along +x with one ramp lane.
+
+    ramp="exit": the ramp runs parallel beside the outermost forward lane
+    (gore area) from `ramp_at`, then peels away laterally by `ramp_offset`
+    over `ramp_len` and continues parallel (HighwayExit geometry).
+    ramp="entry": mirror image -- the ramp approaches from the side,
+    becomes parallel at `ramp_at`, and ENDS ~40 m later (forced merge --
+    MergerIntoSlowTraffic geometry).
+    """
+    base = straight_town(length=length, lanes_per_dir=lanes_per_dir,
+                         lane_width=lane_width, speed_limit=speed_limit)
+    lanes = [base.lanes[i] for i in sorted(base.lanes)]
+    outer = lanes[lanes_per_dir - 1]          # rightmost forward lane
+    y0 = -(lanes_per_dir + 0.5) * lane_width  # parallel-ramp centerline y
+    lid = max(base.lanes) + 1
+    xs: np.ndarray
+    if ramp == "exit":
+        gore = 25.0
+        xs = np.arange(ramp_at, min(ramp_at + gore + ramp_len + 60.0,
+                                    length - 5.0), 1.0)
+        ys = np.where(
+            xs < ramp_at + gore, y0,
+            y0 - ramp_offset * np.clip(
+                (xs - ramp_at - gore) / ramp_len, 0.0, 1.0) ** 2)
+    elif ramp == "entry":
+        x_start = max(ramp_at - ramp_len, 5.0)
+        xs = np.arange(x_start, min(ramp_at + 40.0, length - 5.0), 1.0)
+        ys = np.where(
+            xs >= ramp_at, y0,
+            y0 - ramp_offset * np.clip(
+                (ramp_at - xs) / ramp_len, 0.0, 1.0) ** 2)
+    else:
+        raise ValueError(f"ramp must be 'exit' or 'entry', got {ramp!r}")
+    ramp_lane = Lane(lid, np.stack([xs, ys], 1), width=lane_width,
+                     speed_limit=speed_limit)
+    ramp_lane.left = outer.lane_id
+    outer.right = ramp_lane.lane_id
+    roads = [Road(0, lanes), Road(1, [ramp_lane])]
+    return SimMap(roads, name=f"MicroTown_Highway_{ramp}")
 
 
 def crossing_route(town: SimMap, start_s: float, end_s: float,

@@ -45,6 +45,7 @@ TOWNS = {
     "curved": simmap.curved_town,
     "crossing": simmap.crossing_town,
     "grid": simmap.grid_town,
+    "highway": simmap.highway_town,
 }
 
 
@@ -79,8 +80,23 @@ def build_world(spec: Dict, seed: int = 0
         route = np.stack([lane.point_at_s(s) for s in grid], 0)
     ego_start = route[0]
     ego_s, _ = lane.project(ego_start)
-    world.spawn_ego(ego_start, yaw=lane.yaw_at_s(ego_s),
+    ego_yaw = lane.yaw_at_s(ego_s)
+    if spec.get("parking_exit"):
+        # ego starts in the parking lane beside the route start; drivers
+        # read world.spec and arm the planner's parking-exit merge
+        # (expert/route_planner.set_route parking_exit -- reference
+        # privileged_route_planner.py:428-433)
+        park = next((l for l in town.lanes.values()
+                     if l.lane_type == "parking"), None)
+        if park is None:
+            raise ValueError("parking_exit route needs a parking lane "
+                             "(straight town: parking_lane=True)")
+        s_park, _ = park.project(ego_start)
+        ego_start = park.point_at_s(s_park)
+        ego_yaw = park.yaw_at_s(s_park)
+    world.spawn_ego(ego_start, yaw=ego_yaw,
                     speed=float(spec.get("start_speed", 0.0)))
+    world.spec = spec
 
     builder = ScenarioBuilder(world, route)
     records = []
@@ -99,12 +115,41 @@ def build_world(spec: Dict, seed: int = 0
                             target_speed=float(npc.get("target_speed",
                                                        npc.get("speed",
                                                                7.0)))))
+    for flow in spec.get("flows", []):
+        # an actor flow: `count` vehicles spaced `gap` m along a lane,
+        # all driving at `speed` (reference srunner ActorFlow-based
+        # scenarios spawn a continuous source->sink stream; a finite
+        # platoon covers a MicroBench-length route)
+        fl = town.lanes[flow["lane"]]
+        n = int(flow.get("count", 4))
+        gap = float(flow.get("gap", 24.0))
+        v = float(flow.get("speed", 6.0))
+        s0f = float(flow.get("from_s", 30.0))
+        for k in range(n):
+            s = s0f - k * gap
+            if not 0.0 <= s <= fl.length:
+                continue
+            world.spawn(Vehicle(fl.point_at_s(s), yaw=fl.yaw_at_s(s),
+                                speed=v, lane=fl, target_speed=v))
     return world, route, records
 
 
 # ---------------------------------------------------------------------------
 # Drivers
 # ---------------------------------------------------------------------------
+
+def _set_planner_route(planner, world: SimWorld,
+                       route: np.ndarray) -> None:
+    """Arm the planner, honoring a parking-exit start (the route's first
+    waypoint sits on the driving lane while the ego starts in the parking
+    lane; the planner prepends the merge -- route_planner.set_route)."""
+    spec = getattr(world, "spec", None) or {}
+    if spec.get("parking_exit") and world.ego is not None:
+        planner.set_route(np.asarray(route, float),
+                          start_xy=world.ego.position.copy(),
+                          parking_exit=True)
+    else:
+        planner.set_route(np.asarray(route, float))
 
 class ExpertDriver:
     """Privileged expert closing the loop (collection-capable).
@@ -126,7 +171,7 @@ class ExpertDriver:
 
         self.world = world
         self.planner = PrivilegedRoutePlanner()
-        self.planner.set_route(np.asarray(route, float))
+        _set_planner_route(self.planner, world, route)
         self.scenarios = ScenarioManager(self.planner)
         self.scenario_records = list(scenario_records)
         self.target_speed = target_speed
@@ -397,7 +442,7 @@ class ModelDriver:
         self.world = world
         self.camera = camera or Camera()
         self.planner = PrivilegedRoutePlanner()
-        self.planner.set_route(np.asarray(route, float))
+        _set_planner_route(self.planner, world, route)
         self.tp_distances = tp_distances
         self.gps_noise = gps_noise_std
         self.compass_noise = compass_noise_std

@@ -62,6 +62,10 @@ MICROBENCH: List[Dict] = [
      "route_id": "micro_09_hazard_side_lane",
      "scenarios": [{"type": "HazardAtSideLane", "at_s": 90.0}]},
     {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_09b_hazard_side_lane_twoways",
+     "town_kwargs": {"lanes_per_dir": 1},
+     "scenarios": [{"type": "HazardAtSideLaneTwoWays", "at_s": 90.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
      "route_id": "micro_10_yield_emergency",
      "scenarios": [{"type": "YieldToEmergencyVehicle", "at_s": 60.0}]},
     {"town": "straight", "start_s": 5.0, "end_s": 220.0,
@@ -107,6 +111,111 @@ MICROBENCH: List[Dict] = [
     {"town": "straight", "start_s": 5.0, "end_s": 220.0,
      "route_id": "micro_24_parking_crossing_ped",
      "scenarios": [{"type": "ParkingCrossingPedestrian", "at_s": 110.0}]},
+    # -- Merging ability: actor flows, ramps, sequential changes ----------
+    {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "right",
+     "town_kwargs": {"lights": False},
+     "route_id": "micro_25_enter_actor_flow",
+     "scenarios": [{"type": "EnterActorFlow", "at_s": 140.0}]},
+    {"town": "highway", "town_kwargs": {"ramp": "exit"},
+     "via": [[5.0, -1.75], [170.0, -5.25], [398.0, -14.6]],
+     "route_id": "micro_26_highway_exit",
+     "scenarios": [{"type": "HighwayExit", "at_s": 250.0}]},
+    {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "left",
+     "town_kwargs": {"lights": False},
+     "route_id": "micro_27_interurban_flow",
+     "scenarios": [{"type": "InterurbanActorFlow", "at_s": 140.0}]},
+    {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "left",
+     "town_kwargs": {"lights": False},
+     "route_id": "micro_28_interurban_advanced",
+     "scenarios": [{"type": "InterurbanAdvancedActorFlow",
+                    "at_s": 140.0}]},
+    {"town": "highway", "town_kwargs": {"ramp": "entry"},
+     "via": [[183.0, -14.4], [350.0, -5.25]],
+     "route_id": "micro_29_merge_slow_traffic",
+     "scenarios": [{"type": "MergerIntoSlowTraffic", "at_s": 75.0}]},
+    {"town": "highway", "town_kwargs": {"ramp": "entry"},
+     "via": [[183.0, -14.4], [350.0, -5.25]],
+     "route_id": "micro_30_merge_slow_traffic_v2",
+     "scenarios": [{"type": "MergerIntoSlowTrafficV2", "at_s": 75.0}]},
+    {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "left",
+     "town_kwargs": {"lights": False},
+     "route_id": "micro_31_nonsig_left_turn",
+     "scenarios": [{"type": "NonSignalizedJunctionLeftTurn",
+                    "at_s": 140.0}]},
+    {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "right",
+     "town_kwargs": {"lights": False},
+     "route_id": "micro_32_nonsig_right_turn",
+     "scenarios": [{"type": "NonSignalizedJunctionRightTurn",
+                    "at_s": 140.0}]},
+    {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "left",
+     "town_kwargs": {"lights": False},
+     "route_id": "micro_33_nonsig_left_enter_flow",
+     "scenarios": [{"type": "NonSignalizedJunctionLeftTurnEnterFlow",
+                    "at_s": 140.0}]},
+    {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "right",
+     "route_id": "micro_34_sig_right_turn",
+     "scenarios": [{"type": "SignalizedJunctionRightTurn",
+                    "at_s": 140.0}]},
+    {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "left",
+     "route_id": "micro_35_sig_left_enter_flow",
+     "scenarios": [{"type": "SignalizedJunctionLeftTurnEnterFlow",
+                    "at_s": 140.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 160.0, "ego_lane": 1,
+     "town_kwargs": {"parking_lane": True}, "parking_exit": True,
+     "route_id": "micro_36_parking_exit",
+     "scenarios": [{"type": "ParkingExit", "at_s": 5.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0, "ego_lane": 2,
+     "town_kwargs": {"lanes_per_dir": 3},
+     "route_id": "micro_37_sequential_lane_change",
+     "scenarios": [{"type": "SequentialLaneChange", "at_s": 110.0}]},
+    # -- Emergency_Brake ability -------------------------------------------
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_38_hard_brake",
+     "scenarios": [{"type": "HardBreakRoute", "at_s": 60.0}]},
+    {"town": "crossing", "start_s": 5.0, "end_s": 290.0,
+     "town_kwargs": {"lights": False},
+     "route_id": "micro_39_opposite_priority",
+     "scenarios": [{"type": "OppositeVehicleTakingPriority",
+                    "at_s": 145.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0, "ego_lane": 1,
+     "town_kwargs": {"parking_lane": True},
+     "route_id": "micro_40_parking_cut_in",
+     "scenarios": [{"type": "ParkingCutIn", "at_s": 100.0}]},
+    {"town": "crossing", "start_s": 5.0, "end_s": 290.0,
+     "route_id": "micro_41_pedestrian_crossing",
+     "scenarios": [{"type": "PedestrianCrossing", "at_s": 140.0}]},
+    {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "right",
+     "route_id": "micro_42_vehicle_turning_route",
+     "scenarios": [{"type": "VehicleTurningRoute", "at_s": 160.0}]},
+    {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "left",
+     "route_id": "micro_43_vehicle_turning_ped",
+     "scenarios": [{"type": "VehicleTurningRoutePedestrian",
+                    "at_s": 160.0}]},
+    {"town": "straight", "start_s": 5.0, "end_s": 220.0,
+     "route_id": "micro_44_control_loss",
+     "scenarios": [{"type": "ControlLoss", "at_s": 80.0}]},
+    # -- Traffic_Signs ability ----------------------------------------------
+    {"town": "crossing", "start_s": 5.0, "end_s": 290.0,
+     "town_kwargs": {"t_junction": True},
+     "route_id": "micro_45_t_junction",
+     "scenarios": [{"type": "T_Junction", "at_s": 145.0}]},
+    {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "right",
+     "town_kwargs": {"lights": False},
+     "route_id": "micro_46_vanilla_nonsig_turn",
+     "scenarios": [{"type": "VanillaNonSignalizedTurn", "at_s": 140.0}]},
+    {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "right",
+     "route_id": "micro_47_vanilla_sig_green",
+     "scenarios": [{"type": "VanillaSignalizedTurnEncounterGreenLight",
+                    "at_s": 140.0}]},
+    {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "left",
+     "route_id": "micro_48_vanilla_sig_red",
+     "scenarios": [{"type": "VanillaSignalizedTurnEncounterRedLight",
+                    "at_s": 140.0}]},
+    {"town": "crossing", "start_s": 5.0, "end_s": 260.0, "turn": "right",
+     "town_kwargs": {"lights": False, "stop_sign": True},
+     "route_id": "micro_49_vanilla_stop_turn",
+     "scenarios": [{"type": "VanillaNonSignalizedTurnEncounterStopsign",
+                    "at_s": 140.0}]},
 ]
 
 

@@ -37,6 +37,17 @@ class SimWorld:
                                              % 2 == 0 else 12.0))
             for spot in sim_map.lights]
         self.ego: Optional[Actor] = None
+        # proximity-armed light overrides: {"position", "distance",
+        # "state", "fired"} -- when the ego first comes within `distance`
+        # of `position`, every light's cycle is re-phased so `state` has
+        # JUST begun (Vanilla*TurnEncounter{Green,Red}Light mechanics:
+        # the encounter is guaranteed regardless of approach speed)
+        self.light_triggers: List[Dict] = []
+        # ControlLoss faults: {"position", "distance", "duration",
+        # "steer_bias", "started"} -- a transient steering bias injected
+        # into the ego's applied control (reference srunner
+        # control_loss.py perturbs the ego's control on route triggers)
+        self.control_faults: List[Dict] = []
 
     # -- spawning ------------------------------------------------------------
     def spawn(self, actor: Actor) -> Actor:
@@ -59,6 +70,14 @@ class SimWorld:
         """Integrate the ego one tick with the agent's control."""
         from simlingo_tpu.agent.ukf import bicycle_model_forward
         e = self.ego
+        for fault in self.control_faults:
+            if fault["started"] is None and np.linalg.norm(
+                    e.position - fault["position"]) < fault["distance"]:
+                fault["started"] = self.time
+            if fault["started"] is not None and \
+                    self.time < fault["started"] + fault["duration"]:
+                steer = float(np.clip(steer + fault["steer_bias"],
+                                      -1.0, 1.0))
         x = np.array([e.position[0], e.position[1], e.yaw, e.speed])
         x = bicycle_model_forward(x, self.dt, float(steer), float(throttle),
                                   bool(brake > 0.5))
@@ -71,6 +90,25 @@ class SimWorld:
             light.tick(self.dt)
         ego_pos = (self.ego.position if self.ego is not None
                    else np.zeros(2))
+        for trig in self.light_triggers:
+            if not trig.get("fired") and np.linalg.norm(
+                    ego_pos - trig["position"]) < trig["distance"]:
+                trig["fired"] = True
+                ego_lane_id = (self.map.closest_lane(ego_pos).lane_id
+                               if self.ego is not None else 0)
+                ego_group = None
+                for light in self.lights:
+                    if light.spot.lane_id == ego_lane_id:
+                        ego_group = (light.spot.light_id // 2) % 2
+                for light in self.lights:
+                    same = (ego_group is None or
+                            (light.spot.light_id // 2) % 2 == ego_group)
+                    state = trig["state"] if same else \
+                        ("red" if trig["state"] == "green" else "green")
+                    g = light.durations["green"]
+                    y = light.durations["yellow"]
+                    light.t = {"green": 0.0, "yellow": g,
+                               "red": g + y}[state]
         for actor in self.actors:
             if not actor.alive or actor.role == "ego":
                 continue
@@ -83,6 +121,19 @@ class SimWorld:
                 if actor._unblock_at is not None \
                         and self.time >= actor._unblock_at:
                     actor.behavior = "drive"
+            if (isinstance(actor, Vehicle)
+                    and actor.brake_trigger_distance is not None
+                    and np.linalg.norm(ego_pos - actor.position)
+                    < actor.brake_trigger_distance):
+                actor._resume_target = actor.target_speed
+                actor.target_speed = 0.0
+                actor._brake_resume = self.time + actor.brake_hold
+                actor.brake_trigger_distance = None
+            if (isinstance(actor, Vehicle)
+                    and actor._brake_resume is not None
+                    and self.time >= actor._brake_resume):
+                actor.target_speed = actor._resume_target
+                actor._brake_resume = None
             if (isinstance(actor, Vehicle)
                     and actor.cut_in_lane is not None
                     and np.linalg.norm(ego_pos - actor.position)
