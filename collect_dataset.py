@@ -43,23 +43,27 @@ def main():
     ap.add_argument("--microsim", action="store_true",
                     help="collect with the in-repo microsim (no CARLA): "
                          "one babysat job per MicroBench route")
+    ap.add_argument("--suite", default="micro",
+                    help="microsim suite: micro (51 routes) or b2d220 "
+                         "(Bench2Drive protocol, 44 types x 5 variants)")
     args = ap.parse_args()
 
     if args.microsim and not args.labels_only:
         from simlingo_tpu.orchestration.babysitter import (Babysitter, Job,
                                                            LocalBackend)
-        from simlingo_tpu.sim.suite import MICROBENCH
+        from simlingo_tpu.sim.suite import SUITES
         collect_root = os.path.join(args.save_root, "data", "simlingo",
                                     "v1", "micro", "routes_training")
         log_dir = os.path.join(args.save_root, "logs")
         result_dir = os.path.join(args.save_root, "microsim_results")
         os.makedirs(result_dir, exist_ok=True)
         jobs = []
-        for spec in MICROBENCH:
+        for spec in SUITES[args.suite]():
             rid = spec["route_id"]
             done = os.path.join(collect_root, f"Town12_{rid}",
                                 "results.json.gz")
             cmd = ["python", "-m", "simlingo_tpu.sim.suite",
+                   "--suite", args.suite,
                    "--agent", "expert", "--routes", rid,
                    "--collect", collect_root,
                    "--out", os.path.join(result_dir, f"{rid}.json")]

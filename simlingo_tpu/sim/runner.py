@@ -516,6 +516,7 @@ def run_route(spec: Dict,
 
     record_dir: write a ScenarioLogger record (records.json.gz) for
     post-hoc replay rendering / infraction GIFs."""
+    seed = int(spec.get("seed", seed))      # spec-pinned seeds win
     world, route, scen_records = build_world(spec, seed=seed)
     criteria = RouteCriteria(world, route,
                              timeout=spec.get("timeout"))

@@ -219,6 +219,50 @@ MICROBENCH: List[Dict] = [
 ]
 
 
+def microbench220() -> List[Dict]:
+    """The Bench2Drive-protocol suite: 220 routes = 44 scenario types x 5
+    deterministic variants (reference bench2drive220.xml: 220 short
+    routes, one scenario each, all towns; README.md:207).
+
+    Each variant perturbs the type's proven MicroBench base spec along
+    axes that change the closed-loop dynamics without breaking the
+    scenario's geometry: scenario arc position (where the town allows),
+    ego start speed (shifts every flow/trigger encounter timing), world
+    seed, and background traffic on multi-lane straight towns.
+    """
+    by_type: Dict[str, Dict] = {}
+    for spec in MICROBENCH:
+        if spec.get("scenarios"):
+            by_type.setdefault(spec["scenarios"][0]["type"], spec)
+    out: List[Dict] = []
+    for name in sorted(by_type):
+        base = by_type[name]
+        junction_town = base.get("town") in ("crossing", "grid")
+        for k in range(5):
+            spec = json.loads(json.dumps(base))     # deep copy
+            sc = spec["scenarios"][0]
+            if not junction_town and name not in ("ParkingExit",):
+                # junction scenarios are anchored to the junction; only
+                # straight/highway placements can slide along the road
+                sc["at_s"] = float(sc["at_s"]) + (k - 2) * 6.0
+            spec["start_speed"] = [0.0, 3.0, 0.0, 5.0, 1.5][k]
+            spec["seed"] = k
+            if (spec.get("town") == "straight" and k in (1, 3)
+                    and spec.get("town_kwargs", {}).get(
+                        "lanes_per_dir", 2) >= 2
+                    and not spec.get("parking_exit")):
+                # background vehicle on the opposite carriageway
+                n_fwd = spec.get("town_kwargs", {}).get("lanes_per_dir", 2)
+                spec.setdefault("npcs", []).append(
+                    {"at_s": 160.0, "lane": n_fwd, "speed": 6.0})
+            spec["route_id"] = f"b2d_{name}_{k}"
+            out.append(spec)
+    return out
+
+
+SUITES = {"micro": lambda: MICROBENCH, "b2d220": microbench220}
+
+
 def load_model_agent(checkpoint: Optional[str], tiny: bool = False):
     """Build a LingoAgent from an HF-layout checkpoint dir (or a tiny
     random model for pipeline smoke tests)."""
@@ -267,6 +311,10 @@ def main(argv=None) -> Dict:
     ap.add_argument("--collect", default=None,
                     help="dataset root: save expert sensor data per route")
     ap.add_argument("--out", default=None, help="result JSON path")
+    ap.add_argument("--suite", choices=sorted(SUITES), default="micro",
+                    help="micro: 51 routes, one per scenario type; "
+                         "b2d220: the Bench2Drive protocol, 44 types x 5 "
+                         "variants")
     ap.add_argument("--routes", default=None,
                     help="comma-separated route_id filter")
     ap.add_argument("--max-steps", type=int, default=None)
@@ -276,7 +324,7 @@ def main(argv=None) -> Dict:
                          "make_infraction_gifs input)")
     args = ap.parse_args(argv)
 
-    specs = MICROBENCH
+    specs = SUITES[args.suite]()
     if args.routes:
         wanted = set(args.routes.split(","))
         specs = [s for s in specs if s["route_id"] in wanted

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--agent-kind", default="model",
                     choices=("model", "tiny-model", "expert"),
                     help="microsim agent (tiny-model/expert for smokes)")
+    ap.add_argument("--suite", default="micro",
+                    help="microsim suite: micro (51 routes) or b2d220 "
+                         "(Bench2Drive protocol, 44 types x 5 variants)")
     args = ap.parse_args()
 
     from simlingo_tpu.eval.driving_score import merge_route_dir
@@ -44,11 +47,12 @@ def main():
     os.makedirs(args.output_dir, exist_ok=True)
     jobs = []
     if args.microsim:
-        from simlingo_tpu.sim.suite import MICROBENCH
-        for spec in MICROBENCH:
+        from simlingo_tpu.sim.suite import SUITES
+        for spec in SUITES[args.suite]():
             name = spec["route_id"]
             result = os.path.join(args.output_dir, f"{name}.json")
             cmd = ["python", "-m", "simlingo_tpu.sim.suite",
+                   "--suite", args.suite,
                    "--agent", args.agent_kind, "--routes", name,
                    "--out", result]
             if args.agent_kind == "model":

@@ -279,3 +279,28 @@ def test_flow_scenarios_produce_real_encounters():
                 break
         assert crit.finished == "Completed", (rid, crit.infractions)
         assert min_d < d_req, (rid, min_d)
+
+
+def test_microbench220_protocol():
+    """The Bench2Drive-protocol suite: 220 deterministic routes, 44
+    scenario types x 5 variants (reference bench2drive220.xml)."""
+    import collections
+
+    from simlingo_tpu.sim.suite import microbench220
+
+    specs = microbench220()
+    assert len(specs) == 220
+    assert len({s["route_id"] for s in specs}) == 220
+    c = collections.Counter(s["scenarios"][0]["type"] for s in specs)
+    assert len(c) == 44 and all(v == 5 for v in c.values())
+    assert microbench220() == specs          # deterministic
+    # variants genuinely differ (timing axes shift the encounters)
+    starts = {s["start_speed"] for s in specs
+              if s["route_id"].startswith("b2d_HardBreakRoute")}
+    assert len(starts) >= 3
+    # one perturbed variant runs clean closed-loop
+    spec = next(s for s in specs
+                if s["route_id"] == "b2d_DynamicObjectCrossing_1")
+    rec = run_route(spec, expert_factory())
+    assert rec["status"] == "Completed", rec["infractions"]
+    assert rec["scores"]["score_composed"] == 100.0
