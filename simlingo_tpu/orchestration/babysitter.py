@@ -151,9 +151,18 @@ class Babysitter:
             else:
                 j.finished = True
                 j.failed = True
-        # launch new
-        pending = [j for j in self.jobs
-                   if not j.finished and j.started_at == 0.0]
+        # launch new -- resume semantics: a job whose done_file already
+        # exists (e.g. from an interrupted earlier run) is complete and is
+        # never resubmitted, matching the reference babysitters' restart
+        # behavior (start_eval_simlingo.py result-checkpoint skip).
+        pending = []
+        for j in self.jobs:
+            if j.finished or j.started_at != 0.0:
+                continue
+            if j.done_file is not None and os.path.exists(j.done_file):
+                j.finished = True
+                continue
+            pending.append(j)
         slots = self._max_concurrent() - sum(
             1 for j in self.jobs
             if not j.finished and self.backend.is_running(j))

@@ -68,6 +68,30 @@ def test_babysitter_retries_and_completes(tmp_path):
     assert marker.read_text() == "2"   # needed one retry
 
 
+def test_babysitter_resumes_past_done_files(tmp_path):
+    # A job whose done_file already exists (interrupted earlier run) must
+    # be counted finished without being re-launched.
+    done = tmp_path / "a.json"
+    done.write_text("{}")
+    touched = tmp_path / "relaunched"
+    jobs = [
+        Job(name="done-already",
+            cmd=[sys.executable, "-c",
+                 f"open({str(touched)!r}, 'w').write('x')"],
+            log_path=str(tmp_path / "a.log"), done_file=str(done)),
+        Job(name="fresh",
+            cmd=[sys.executable, "-c",
+                 f"open({str(tmp_path / 'b.json')!r}, 'w').write('{{}}')"],
+            log_path=str(tmp_path / "b.log"),
+            done_file=str(tmp_path / "b.json")),
+    ]
+    sitter = Babysitter(jobs, LocalBackend(), max_concurrent=2,
+                        poll_interval_s=0.05, hang_timeout_s=30)
+    counts = sitter.run()
+    assert counts["finished"] == 2 and counts["failed"] == 0
+    assert not touched.exists()        # the completed job never re-ran
+
+
 def test_crash_signature_detection(tmp_path):
     log = tmp_path / "x.log"
     log.write_text("starting...\nWatchdog exception - Timeout\n")
