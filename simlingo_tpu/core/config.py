@@ -24,6 +24,7 @@ class MeshConfig:
     dp: int = -1       # -1 => fill remaining devices
     fsdp: int = 1
     tp: int = 1
+    sp: int = 1        # sequence axis (ring attention, parallel/sequence.py)
 
 
 @dataclasses.dataclass

@@ -1276,6 +1276,18 @@ def attention(
 ) -> jnp.ndarray:
     """Dispatch between our Pallas kernel, the XLA reference, and the
     bundled-kernel adapter (see _ATTN_IMPL)."""
+    # Sequence parallelism (parallel/sequence.py): when the trainer enabled
+    # an sp mesh axis, cache-free self-attention whose sequence divides the
+    # axis runs as ring attention with the sequence dim sharded. Everything
+    # else (KV-cached decode/prefill via q_offset, the 1025-token ViT,
+    # single-token calls) falls through to the single-chip kernels.
+    if layout == "bthd" and q.ndim == 4 and q_offset is None \
+            and q.shape[1] == k.shape[1]:
+        from simlingo_tpu.parallel import sequence as _sp
+        _st = _sp.active_axis()
+        if _st is not None and q.shape[1] % _st[2] == 0:
+            return _sp.ring_attention(q, k, v, kv_valid, causal=causal,
+                                      scale=scale, mesh=_st[0], axis=_st[1])
     impl = _ATTN_IMPL
     if use_pallas is False:
         impl = "xla"

@@ -28,15 +28,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: int = -1, fsdp: int = 1, tp: int = 1,
+def make_mesh(dp: int = -1, fsdp: int = 1, tp: int = 1, sp: int = 1,
               devices=None) -> Mesh:
+    """dp x fsdp x tp mesh, plus an optional sp (sequence) axis.
+
+    sp shards ACTIVATIONS along the sequence dim (parallel/sequence.py ring
+    attention); parameters never mention it, so the partition rules below
+    are sp-agnostic. sp neighbors sit adjacent in device order so the ring's
+    ppermute rides single ICI hops.
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp == -1:
-        dp = n // (fsdp * tp)
-    assert dp * fsdp * tp == n, f"{dp}x{fsdp}x{tp} != {n} devices"
-    dev = np.asarray(devices).reshape(dp, fsdp, tp)
-    return Mesh(dev, ("dp", "fsdp", "tp"))
+        dp = n // (fsdp * tp * sp)
+    assert dp * fsdp * tp * sp == n, f"{dp}x{fsdp}x{tp}x{sp} != {n} devices"
+    dev = np.asarray(devices).reshape(dp, fsdp, tp, sp)
+    return Mesh(dev, ("dp", "fsdp", "tp", "sp"))
 
 
 # (regex over tree path, PartitionSpec) -- first match wins.

@@ -33,6 +33,7 @@ from simlingo_tpu.data.sampler import Bucket, WeightedBucketSampler
 from simlingo_tpu.data.tokenizer import SimLingoTokenizer
 from simlingo_tpu.models import simlingo
 from simlingo_tpu.parallel import mesh as meshlib
+from simlingo_tpu.parallel import sequence
 from simlingo_tpu.train import train_step as ts
 
 
@@ -195,10 +196,26 @@ def train(cfg: TrainConfig,
           make_synthetic: bool = False) -> Dict[str, Any]:
     """Run training. With make_synthetic=True, trains on synthetic batches
     (no dataset on disk required) -- used for benchmarking and smoke runs."""
+    try:
+        return _train_impl(cfg, make_synthetic)
+    finally:
+        sequence.disable()      # never leak the sp context past train()
+
+
+def _train_impl(cfg: TrainConfig,
+                make_synthetic: bool = False) -> Dict[str, Any]:
     jax.config.update("jax_default_prng_impl", "threefry2x32")
     np.random.seed(cfg.seed)
 
-    mesh = meshlib.make_mesh(cfg.mesh.dp, cfg.mesh.fsdp, cfg.mesh.tp)
+    mesh = meshlib.make_mesh(cfg.mesh.dp, cfg.mesh.fsdp, cfg.mesh.tp,
+                             getattr(cfg.mesh, "sp", 1))
+    # sp > 1: eligible attention calls trace through ring attention with the
+    # sequence dim sharded (parallel/sequence.py). Scoped via try/finally
+    # (see the matching `finally` at the end of this function): the context
+    # must cover the train-step trace but MUST NOT leak past train() --
+    # a later single-device jit in the same process would otherwise try to
+    # partition over a mesh it doesn't run on.
+    sequence.enable(mesh)
     compute_dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
 
     # ---- params ----
@@ -296,7 +313,8 @@ def train(cfg: TrainConfig,
         for step in range(start_step, total_steps):
             batch = prefetch.get(step)
             state, metrics = step_fn(state, batch, jax.random.fold_in(rng, step))
-            if (step + 1) % cfg.log_every_n_steps == 0 or step == start_step:
+            if step == start_step or (cfg.log_every_n_steps > 0 and
+                                      (step + 1) % cfg.log_every_n_steps == 0):
                 host = {k: float(jax.device_get(v))
                         for k, v in metrics.items()}
                 dt = time.perf_counter() - t_log
@@ -308,7 +326,8 @@ def train(cfg: TrainConfig,
                 print(f"step {step + 1}/{total_steps} "
                       f"loss={host['loss']:.4f} "
                       f"{host['samples_per_sec']:.2f} samples/s")
-            if (step + 1) % cfg.checkpoint_every_n_steps == 0:
+            if cfg.checkpoint_every_n_steps > 0 \
+                    and (step + 1) % cfg.checkpoint_every_n_steps == 0:
                 ckpt.save_checkpoint(ckpt_dir, state, step + 1,
                                      keep=cfg.keep_checkpoints)
             if eval_step is not None and viz.every > 0 \
