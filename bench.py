@@ -53,11 +53,16 @@ def latency_bench():
     cfg = presets.internvl2_1b(lora=False)
     params = simlingo.init_params(jax.random.PRNGKey(0), cfg,
                                   dtype=jnp.bfloat16)
-    if os.environ.get("BENCH_INT8", "1") == "1":
+    quant = os.environ.get("BENCH_QUANT",
+                           "int8" if os.environ.get("BENCH_INT8", "1") == "1"
+                           else "bf16")
+    if quant in ("int8", "int4"):
         # production serving config: LoRA merged (none here: lora=False) +
-        # w8a16 LLM decode weights -- halves the HBM-bound per-token cost
+        # low-bit LLM decode weights -- the HBM-bound per-token cost scales
+        # with weight bytes (int8 default; int4 halves it again)
         from simlingo_tpu.core.quantize import quantize_llm
-        params = dict(params, llm=quantize_llm(params["llm"]))
+        params = dict(params, llm=quantize_llm(
+            params["llm"], bits=4 if quant == "int4" else 8))
     max_new = int(os.environ.get("BENCH_MAX_NEW_TOKENS", "77"))    # p50
     max_new_p95 = int(os.environ.get("BENCH_COT_P95_TOKENS", "124"))
     ex = synthetic_example(cfg, batch=1, seq_len=640, num_patches=2,
@@ -115,6 +120,7 @@ def latency_bench():
         "raw_p50_action_ms": round(p50_action, 2),
         "raw_cot_p50_ms": round(p50_cot, 2),
         "tunnel_rtt_ms": round(rtt, 2),
+        "llm_weights": quant,
     }))
 
 

@@ -31,5 +31,8 @@ run "batch8 int8-base"     BENCH_MODE=train BENCH_INT8_BASE=1 BENCH_BATCH=8
 run "batch6 pallas-LN"     BENCH_MODE=train SIMLINGO_LN_IMPL=pallas
 # 4. latency lines at production budgets (driver-captured format)
 run "latency"              BENCH_MODE=latency
+# 4b. w4a16 decode (group-128 int4, kernels/quantized_matmul.py): halves the
+#     HBM weight bytes that bound per-token latency
+run "latency int4"         BENCH_MODE=latency BENCH_QUANT=int4
 
 echo "=== sweep done; best lines above -> docs/BENCH_NOTES.md ===" | tee -a "$LOG"

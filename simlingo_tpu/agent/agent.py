@@ -66,10 +66,11 @@ class LingoAgent:
             params = dict(params)
             params["llm"] = _q.merge_lora(params["llm"], params.pop("lora"),
                                           model_cfg.llm)
-        if self.cfg.int8_llm:
+        if self.cfg.int4_llm or self.cfg.int8_llm:
             from simlingo_tpu.core.quantize import quantize_llm
             params = dict(params)
-            params["llm"] = quantize_llm(params["llm"])
+            params["llm"] = quantize_llm(params["llm"],
+                                         bits=4 if self.cfg.int4_llm else 8)
         self.params = params
         self.max_prompt_len = max_prompt_len
         self.controller = VehicleController(self.cfg)

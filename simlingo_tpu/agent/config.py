@@ -18,6 +18,9 @@ class AgentConfig:
     # bf16 on v5e -- the CoT path's latency budget depends on it
     # (docs/BENCH_NOTES.md round 2). Set False to serve in bf16.
     int8_llm: bool = True
+    # w4a16 (group-128 scales): halves decode weight bytes again; opt-in
+    # pending quality validation on real checkpoints (overrides int8_llm)
+    int4_llm: bool = False
 
     carla_fps: int = 20
     # JPEG round-trip the camera frame so inference sees the same compression

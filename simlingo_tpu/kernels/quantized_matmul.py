@@ -101,6 +101,160 @@ def _int8_matmul_bwd(transpose_rhs, block_n, out_dtype, res, g):
 int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
 
 
+# ---------------------------------------------------------------------------
+# w4a16: int4 weights with GROUP-wise scales (serving path)
+# ---------------------------------------------------------------------------
+#
+# Decode is HBM-bound on weight reads (module docstring); int4 halves the
+# bytes again vs w8a16. Per-output-channel scales are too coarse at 4 bits,
+# so weights are quantized per (group of `group` reduction rows, output
+# channel) -- the GPTQ/AWQ storage layout, computed here as plain round-to-
+# nearest. The matmul never expands scales into the [K, N] domain: the dot
+# runs per group (batched dot_general over G) and the [G, M, N] partial sums
+# are scaled then reduced, so the weights cross HBM at int4 width (XLA packs
+# S4 2/byte) and nothing K x N-shaped is materialized at decode M.
+
+INT4_GROUP = 128
+
+
+def quantize_weight4(w: jnp.ndarray, axis: int = 1, group: int = INT4_GROUP
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """axis=1: w [K, N] -> (w_q int4 [K, N], scale f32 [K//group, N]).
+    axis=0: w [V, H] -> (w_q int4 [V, H], scale f32 [V, H//group])
+    (per-vocab-row groups; serves the gather and the tied LM head).
+
+    Symmetric round-to-nearest onto [-7, 7] (the -8 code is unused to keep
+    the scale symmetric).
+    """
+    red = w.shape[0] if axis == 1 else w.shape[1]
+    assert red % group == 0, f"reduction dim {red} % group {group} != 0"
+    G = red // group
+    if axis == 1:
+        K, N = w.shape
+        wg = w.astype(jnp.float32).reshape(G, group, N)
+        amax = jnp.abs(wg).max(axis=1)                      # [G, N]
+        scale = jnp.maximum(amax, 1e-8) / 7.0
+        w_q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
+        return w_q.reshape(K, N).astype(jnp.int4), scale
+    V, H = w.shape
+    wg = w.astype(jnp.float32).reshape(V, G, group)
+    amax = jnp.abs(wg).max(axis=2)                          # [V, G]
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    w_q = jnp.clip(jnp.round(wg / scale[:, :, None]), -7, 7)
+    return w_q.reshape(V, H).astype(jnp.int4), scale
+
+
+def dequantize_weight4(w_q: jnp.ndarray, scale: jnp.ndarray,
+                       transpose_rhs: bool = False, dtype=jnp.bfloat16
+                       ) -> jnp.ndarray:
+    """Expand (w_q, group scales) back to a dense weight (non-decode paths)."""
+    if transpose_rhs:                         # [V, H], scale [V, G]
+        V, H = w_q.shape
+        G = scale.shape[1]
+        wb = w_q.astype(jnp.float32).reshape(V, G, H // G) * scale[:, :, None]
+        return wb.reshape(V, H).astype(dtype)
+    K, N = w_q.shape                          # scale [G, N]
+    G = scale.shape[0]
+    wb = w_q.astype(jnp.float32).reshape(G, K // G, N) * scale[:, None, :]
+    return wb.reshape(K, N).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def int4_matmul(x: jnp.ndarray,           # [..., K]
+                w_q: jnp.ndarray,         # [K, N] int4 ([V, K] if transpose)
+                scale: jnp.ndarray,       # [G, N] f32  ([V, G] if transpose)
+                transpose_rhs: bool = False) -> jnp.ndarray:
+    """y = x @ dequant(w_q, scale) with int4-width weight reads at decode M.
+
+    Like int8_matmul, differentiable in the activation only (frozen serving
+    weights)."""
+    return _int4_matmul_impl(x, w_q, scale, transpose_rhs)
+
+
+def _int4_matmul_impl(x, w_q, scale, transpose_rhs=False) -> jnp.ndarray:
+    orig_shape = x.shape
+    K = orig_shape[-1]
+    M = int(np.prod(orig_shape[:-1])) if len(orig_shape) > 1 else 1
+    x2 = x.reshape(M, K)
+    N = w_q.shape[0] if transpose_rhs else w_q.shape[1]
+    G = scale.shape[1] if transpose_rhs else scale.shape[0]
+    k = K // G
+
+    if M > 64:
+        # non-decode sizes (serving prefill edge cases): one dense dot over a
+        # dequantized copy; no barrier, the convert fuses into the operand
+        wb = dequantize_weight4(w_q, scale, transpose_rhs, x.dtype)
+        y = x2 @ (wb.T if transpose_rhs else wb)
+        return y.astype(x.dtype).reshape(orig_shape[:-1] + (N,))
+
+    # decode: per-group batched dot; barrier keeps the int4->bf16 convert
+    # inside the decode while_loop (same reasoning as the int8 path above)
+    xg = x2.reshape(M, G, k).transpose(1, 0, 2)             # [G, M, k]
+    wb = jax.lax.optimization_barrier(w_q).astype(x.dtype)
+    if transpose_rhs:
+        wg = wb.reshape(N, G, k).transpose(1, 0, 2)         # [G, N, k]
+        yg = jax.lax.dot_general(xg, wg, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        y = (yg * scale.T[:, None, :]).sum(0)               # [M, N]
+    else:
+        wg = wb.reshape(G, k, N)
+        yg = jax.lax.dot_general(xg, wg, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        y = (yg * scale[:, None, :]).sum(0)
+    return y.astype(x.dtype).reshape(orig_shape[:-1] + (N,))
+
+
+def _int4_matmul_fwd(x, w_q, scale, transpose_rhs):
+    return _int4_matmul_impl(x, w_q, scale, transpose_rhs), (w_q, scale)
+
+
+def _int4_matmul_bwd(transpose_rhs, res, g):
+    w_q, scale = res
+    # dx[m, k in group g] = sum_n g[m, n] * scale[g-of-k, n] * w[k, n]: the
+    # group axis rides the OUTPUT dim of the transposed product, so the
+    # forward impl cannot be reused -- fold scale[g] into a per-group
+    # cotangent and run one batched dot over G.
+    orig = g.shape
+    N = orig[-1]
+    M = int(np.prod(orig[:-1])) if len(orig) > 1 else 1
+    g2 = g.reshape(M, N).astype(jnp.float32)
+    if transpose_rhs:
+        # fwd: y = x @ dequant(w_q [V, H], scale [V, G]).T; dx [M, H]
+        V, H = w_q.shape
+        G = scale.shape[1]
+        if M > 64:
+            dx = g2 @ dequantize_weight4(w_q, scale, True, jnp.float32)
+        else:
+            gs = g2[None] * scale.T[:, None, :]                 # [G, M, V]
+            wv = jax.lax.optimization_barrier(w_q).astype(jnp.float32)
+            wv = wv.reshape(V, G, H // G).transpose(1, 0, 2)    # [G, V, k]
+            dxg = jax.lax.dot_general(gs, wv, (((2,), (1,)), ((0,), (0,))),
+                                      preferred_element_type=jnp.float32)
+            dx = dxg.transpose(1, 0, 2).reshape(M, H)
+        out_k = H
+    else:
+        # fwd: y = x @ dequant(w_q [K, N], scale [G, N]); dx [M, K]
+        K, _ = w_q.shape
+        G = scale.shape[0]
+        if M > 64:
+            dx = g2 @ dequantize_weight4(w_q, scale, False, jnp.float32).T
+        else:
+            gs = g2[None] * scale[:, None, :]                   # [G, M, N]
+            wk = jax.lax.optimization_barrier(w_q).astype(jnp.float32)
+            wk = wk.reshape(G, K // G, N)                       # [G, k, N]
+            dxg = jax.lax.dot_general(gs, wk, (((2,), (2,)), ((0,), (0,))),
+                                      preferred_element_type=jnp.float32)
+            dx = dxg.transpose(1, 0, 2).reshape(M, K)
+        out_k = K
+    dx = dx.astype(g.dtype).reshape(orig[:-1] + (out_k,))
+    dw = np.zeros(w_q.shape, jax.dtypes.float0)
+    dscale = jnp.zeros_like(scale)
+    return dx, dw, dscale
+
+
+int4_matmul.defvjp(_int4_matmul_fwd, _int4_matmul_bwd)
+
+
 def _int8_matmul_impl(x, w_q, scale, transpose_rhs=False, block_n=1024,
                       out_dtype=None) -> jnp.ndarray:
     orig_shape = x.shape

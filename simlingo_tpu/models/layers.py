@@ -54,9 +54,14 @@ def linear_init(key, in_dim: int, out_dim: int, use_bias: bool = True,
 
 
 def linear(p: Params, x: jnp.ndarray, *, dtype=None) -> jnp.ndarray:
-    if "w_q" in p:      # int8 weights (core/quantize.py), w8a16 Pallas matmul
-        from simlingo_tpu.kernels.quantized_matmul import int8_matmul
-        y = int8_matmul(x, p["w_q"], p["scale"])
+    if "w_q" in p:      # quantized weights (core/quantize.py): scale rank
+        # tells the width apart -- int8 per-output [N] vs int4 group [G, N]
+        if p["scale"].ndim == 2:
+            from simlingo_tpu.kernels.quantized_matmul import int4_matmul
+            y = int4_matmul(x, p["w_q"], p["scale"])
+        else:
+            from simlingo_tpu.kernels.quantized_matmul import int8_matmul
+            y = int8_matmul(x, p["w_q"], p["scale"])
     else:
         w = p["w"]
         if dtype is not None:
@@ -186,11 +191,15 @@ def embedding_init(key, vocab: int, dim: int, std: float = 0.02,
 
 
 def embed(p: Params, ids: jnp.ndarray, *, dtype=None) -> jnp.ndarray:
-    if "w_q" in p:      # int8 per-row-quantized table (core/quantize.py)
+    if "w_q" in p:      # per-row-quantized table (core/quantize.py)
         ids = jnp.clip(ids, 0, p["w_q"].shape[0] - 1)
         rows = jnp.take(p["w_q"], ids, axis=0).astype(dtype or jnp.float32)
-        return rows * jnp.take(p["scale"], ids, axis=0)[..., None].astype(
-            rows.dtype)
+        sc = jnp.take(p["scale"], ids, axis=0).astype(rows.dtype)
+        if sc.ndim == rows.ndim:          # int4: per-row GROUP scales [.., G]
+            H, G = rows.shape[-1], sc.shape[-1]
+            rows = rows.reshape(rows.shape[:-1] + (G, H // G)) * sc[..., None]
+            return rows.reshape(rows.shape[:-2] + (H,))
+        return rows * sc[..., None]       # int8: one scale per row
     w = p["w"]
     if dtype is not None:
         w = w.astype(dtype)

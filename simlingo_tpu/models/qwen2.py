@@ -369,10 +369,15 @@ def logits_from_hidden(params, hidden, cfg: Qwen2Config) -> jnp.ndarray:
     """LM head (tied to embeddings unless a separate lm_head exists)."""
     if "lm_head" in params:
         return L.linear(params["lm_head"], hidden)
-    if "w_q" in params["embed"]:    # int8 table: [vocab, H], per-row scales
+    if "w_q" in params["embed"]:    # quantized table: [vocab, H] tied head
+        emb = params["embed"]
+        if emb["scale"].ndim == 2:  # int4: per-row group scales [vocab, G]
+            from simlingo_tpu.kernels.quantized_matmul import int4_matmul
+            return int4_matmul(hidden, emb["w_q"], emb["scale"],
+                               transpose_rhs=True)
         from simlingo_tpu.kernels.quantized_matmul import int8_matmul
-        return int8_matmul(hidden, params["embed"]["w_q"],
-                           params["embed"]["scale"], transpose_rhs=True)
+        return int8_matmul(hidden, emb["w_q"], emb["scale"],
+                           transpose_rhs=True)
     w = params["embed"]["w"].T
     return hidden @ w.astype(hidden.dtype)
 
