@@ -29,6 +29,9 @@ run "batch8 int8-base"     BENCH_MODE=train BENCH_INT8_BASE=1 BENCH_BATCH=8
 # 3b. fused Pallas LayerNorm/RMSNorm (validate on-chip first: kernels are
 #     interpret-tested on CPU; see kernels/layernorm.py)
 run "batch6 pallas-LN"     BENCH_MODE=train SIMLINGO_LN_IMPL=pallas
+# 3c. full input pipeline at the final speed (JPEG -> tokenize -> collate ->
+#     prefetch -> device preprocess): proves the loader keeps up off-chip
+run "batch6 disk-data"     BENCH_MODE=train BENCH_DATA=disk
 # 4. latency lines at production budgets (driver-captured format)
 run "latency"              BENCH_MODE=latency
 # 4b. w4a16 decode (group-128 int4, kernels/quantized_matmul.py): halves the

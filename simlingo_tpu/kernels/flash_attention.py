@@ -1281,8 +1281,13 @@ def attention(
     # axis runs as ring attention with the sequence dim sharded. Everything
     # else (KV-cached decode/prefill via q_offset, the 1025-token ViT,
     # single-token calls) falls through to the single-chip kernels.
+    # Escape hatches still work: an explicit use_pallas=False (tests forcing
+    # the XLA reference) or SIMLINGO_SP_ATTN=0 bypasses the ring, computing
+    # attention on the replicated sequence instead -- correct, just not
+    # sequence-sharded.
     if layout == "bthd" and q.ndim == 4 and q_offset is None \
-            and q.shape[1] == k.shape[1]:
+            and q.shape[1] == k.shape[1] and use_pallas is not False \
+            and os.environ.get("SIMLINGO_SP_ATTN", "1") != "0":
         from simlingo_tpu.parallel import sequence as _sp
         _st = _sp.active_axis()
         if _st is not None and q.shape[1] % _st[2] == 0:

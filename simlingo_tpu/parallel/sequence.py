@@ -109,18 +109,29 @@ def _chunk_update(acc, m, l, q32, k, v, mask):
 
     q32 [B,HQ,Tl,D] fp32 (scale pre-folded); k/v [B,Sl,HK,D]; mask
     [B,1,Tl,Sl] or [1,1,Tl,Sl]. Returns updated (acc, m, l).
+
+    GQA runs as a grouped einsum against the UNEXPANDED k/v (query heads
+    reshaped [B,HK,g,Tl,D]) -- repeating k/v to all HQ heads would multiply
+    the per-ring-step KV traffic by the group factor, on exactly the
+    HBM-limited long-context path this module exists for.
     """
-    group = q32.shape[1] // k.shape[2]
-    kf = jnp.repeat(k.astype(jnp.float32), group, axis=2)   # [B,Sl,HQ,D]
-    vf = jnp.repeat(v.astype(jnp.float32), group, axis=2)
-    logits = jnp.einsum("bhtd,bshd->bhts", q32, kf)
+    B, HQ, Tl, D = q32.shape
+    HK = k.shape[2]
+    g = HQ // HK
+    qg = q32.reshape(B, HK, g, Tl, D)
+    k32 = k.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    logits = jnp.einsum("bkgtd,bskd->bkgts", qg, k32).reshape(
+        B, HQ, Tl, k.shape[1])
     logits = jnp.where(mask, logits, NEG_INF)
     m_new = jnp.maximum(m, logits.max(axis=-1))             # [B,HQ,Tl]
     # explicit where: when every key so far is masked, m_new == NEG_INF and
     # exp(NEG_INF - NEG_INF) would resurrect masked entries as 1.0
     p = jnp.where(mask, jnp.exp(logits - m_new[..., None]), 0.0)
     corr = jnp.exp(m - m_new)
-    acc = acc * corr[..., None] + jnp.einsum("bhts,bshd->bhtd", p, vf)
+    pv = jnp.einsum("bkgts,bskd->bkgtd",
+                    p.reshape(B, HK, g, Tl, -1), v32).reshape(B, HQ, Tl, D)
+    acc = acc * corr[..., None] + pv
     l = l * corr + p.sum(axis=-1)
     return acc, m_new, l
 

@@ -313,6 +313,17 @@ def _train_impl(cfg: TrainConfig,
         for step in range(start_step, total_steps):
             batch = prefetch.get(step)
             state, metrics = step_fn(state, batch, jax.random.fold_in(rng, step))
+            if step == start_step and sequence.active_axis() is not None \
+                    and sequence.trace_count() == 0:
+                # sp was configured but every attention call fell back to the
+                # single-chip kernels (e.g. indivisible sequence length):
+                # activations stay replicated over the sp axis, which defeats
+                # the memory sharding sp was set up for -- fail loudly
+                raise RuntimeError(
+                    f"mesh.sp={mesh.shape['sp']} but no attention call "
+                    "ring-routed in the traced step; check that the LLM "
+                    "sequence length divides sp "
+                    "(parallel/sequence.py dispatch rules)")
             if step == start_step or (cfg.log_every_n_steps > 0 and
                                       (step + 1) % cfg.log_every_n_steps == 0):
                 host = {k: float(jax.device_get(v))

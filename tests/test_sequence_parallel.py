@@ -126,6 +126,42 @@ def test_train_step_sp2_matches_unsharded():
                                    err_msg=name)
 
 
+def test_trainer_raises_when_sp_never_engages(tmp_path):
+    """sp configured but no attention call eligible (indivisible sequence):
+    the trainer must fail loudly instead of silently training replicated."""
+    import dataclasses
+
+    from simlingo_tpu.core.config import compose
+    from simlingo_tpu.data.tokenizer import SimLingoTokenizer
+    from simlingo_tpu.models.qwen2 import Qwen2Config
+    from simlingo_tpu.models.simlingo import SimLingoConfig
+    from simlingo_tpu.models.vit import ViTConfig
+    from simlingo_tpu.train import trainer
+
+    tok = SimLingoTokenizer()
+    cfg = compose(overrides=[
+        "max_steps=1", "name=spfail", "log_every_n_steps=0",
+        "checkpoint_every_n_steps=0", "visualise_every_n_steps=0",
+        "precision=f32", "mesh.dp=4", "mesh.fsdp=1", "mesh.tp=1",
+        "mesh.sp=2"])
+    object.__setattr__(cfg, "model", SimLingoConfig(
+        vit=ViTConfig(hidden_size=32, num_layers=1, num_heads=2,
+                      intermediate_size=64, image_size=56, patch_size=14,
+                      projector_out=32),
+        llm=Qwen2Config(vocab_size=tok.tk.vocab_size + 8, hidden_size=32,
+                        num_layers=1, num_heads=2, num_kv_heads=1,
+                        head_dim=16, intermediate_size=64),
+        img_context_token_id=tok.img_context_id,
+        remat_vision=False, remat_llm=False, max_answer_len=64))
+    object.__setattr__(cfg, "output_dir", str(tmp_path))
+    object.__setattr__(cfg.data, "batch_size", 4)
+    # odd max_text_len => LLM sequence length never divides sp=2
+    object.__setattr__(cfg.data, "max_text_len", 97)
+    with pytest.raises(RuntimeError, match="ring-routed"):
+        trainer.train(cfg, make_synthetic=True)
+    assert sq.active_axis() is None      # context cleaned up on the raise
+
+
 def test_enable_noop_on_sp1_mesh():
     mesh = meshlib.make_mesh(dp=8)           # sp axis of size 1
     sq.enable(mesh)

@@ -41,6 +41,10 @@ def main():
     model_cfg = (SimLingoBaseConfig.tiny() if args.tiny
                  else SimLingoBaseConfig())
 
+    # the base model has no sp integration (its sequences are ~100 tokens);
+    # reject rather than silently absorb the sp devices into dp
+    assert getattr(cfg.mesh, "sp", 1) == 1, \
+        "mesh.sp is only supported by the full-SimLingo trainer (train.py)"
     mesh = meshlib.make_mesh(cfg.mesh.dp, cfg.mesh.fsdp, cfg.mesh.tp)
     params = simlingo_base.init_params(jax.random.PRNGKey(cfg.seed), model_cfg)
     params = meshlib.shard_params(params, mesh)
