@@ -49,7 +49,8 @@ class TrainConfig:
     output_dir: str = "outputs"
     max_epochs: int = 15
     max_steps: int = -1
-    val_every_n_epochs: int = 2
+    val_every_n_epochs: int = 2        # 0 disables the validation loop
+    val_max_batches: int = -1          # -1 = the full routes_validation split
     checkpoint_every_n_steps: int = 2000
     keep_checkpoints: int = 3
     log_every_n_steps: int = 50

@@ -81,7 +81,11 @@ def discover_routes(data_root: str, split: str = "train",
             route_dirs = [r for r in route_dirs if "routes_training" in r]
         elif split == "val":
             route_dirs = [r for r in route_dirs if "routes_validation" in r]
-            route_dirs = route_dirs[: int(0.02 * len(route_dirs))]
+            # reference dataset_base.py:211 keeps 2% of the validation routes
+            # (val is only a loss curve); floor at 1 so a small dataset still
+            # validates rather than silently skipping the loop
+            if route_dirs:
+                route_dirs = route_dirs[:max(1, int(0.02 * len(route_dirs)))]
     else:
         cut = int(0.99 * len(route_dirs))
         route_dirs = route_dirs[:cut] if split == "train" else route_dirs[cut:]

@@ -294,6 +294,24 @@ def _train_impl(cfg: TrainConfig,
             return jax.tree_util.tree_map(
                 jax.device_put, ex, meshlib.batch_shardings(ex, mesh))
 
+    # ---- validation split (reference driving.py:274 validation_step over
+    # datamodule.py:297 val_dataloader, run every check_val_every_n_epoch;
+    # here: the routes_validation split, augmentations off) ----
+    val_ds = None
+    val_interval = 0
+    if not make_synthetic and cfg.val_every_n_epochs > 0:
+        from simlingo_tpu.data.driving_dataset import DrivingDataset
+        vbase = dataclasses.replace(
+            cfg.data.base, data_root=cfg.data.data_root, split="val",
+            bucket_name="all", bucket_path=None,
+            commentary_augmentation=False, qa_augmentation=False,
+            img_shift_augmentation=False, img_augmentation=False)
+        val_ds = DrivingDataset(vbase)
+        if len(val_ds) >= batch_size:
+            val_interval = steps_per_epoch * cfg.val_every_n_epochs
+        else:
+            val_ds = None
+
     prefetch = Prefetcher(make_batch, start_step,
                           num_workers=max(1, cfg.data.num_workers))
 
@@ -303,7 +321,26 @@ def _train_impl(cfg: TrainConfig,
                             logger=logger,
                             tokenizer=None if make_synthetic else tok)
     eval_step = ts.make_eval_step(model_cfg, compute_dtype=compute_dtype) \
-        if cfg.visualise_every_n_steps > 0 else None
+        if cfg.visualise_every_n_steps > 0 or val_ds is not None else None
+
+    def run_validation(state) -> Dict[str, float]:
+        """Mean forward-loss metrics over the val split (no grads, no aug),
+        the epoch-aggregated val/loss of the reference's validation_step."""
+        n_batches = len(val_ds) // batch_size
+        if cfg.val_max_batches > 0:
+            n_batches = min(n_batches, cfg.val_max_batches)
+        sums: Dict[str, float] = {}
+        for bi in range(n_batches):
+            rng_v = np.random.RandomState(9973 + bi)   # augmentations are off
+            samples = [val_ds.get(bi * batch_size + j, rng_v)
+                       for j in range(batch_size)]
+            ex = collate(samples, tok, ccfg).strip_static()
+            ex = jax.tree_util.tree_map(
+                jax.device_put, ex, meshlib.batch_shardings(ex, mesh))
+            metrics, _ = eval_step(state["params"], ex)
+            for k, v in metrics.items():
+                sums[k] = sums.get(k, 0.0) + float(jax.device_get(v))
+        return {f"val_{k}": v / max(n_batches, 1) for k, v in sums.items()}
 
     # ---- loop ----
     rng = jax.random.PRNGKey(cfg.seed)
@@ -348,6 +385,14 @@ def _train_impl(cfg: TrainConfig,
                     viz.maybe_plot(step + 1, batch, preds)
                 except Exception as e:   # visualisation must never kill a run
                     print(f"visualise failed: {e}")
+            if val_ds is not None and (
+                    (val_interval > 0 and (step + 1) % val_interval == 0)
+                    or step + 1 == total_steps):
+                vm = run_validation(state)
+                logger.log(step + 1, vm)
+                last_metrics.update(vm)
+                print(f"step {step + 1}: val_loss={vm['val_loss']:.4f} "
+                      f"({len(val_ds)} val samples)")
     finally:
         prefetch.close()
 

@@ -20,6 +20,10 @@ def workspace(tmp_path_factory):
     commentary.generate_route_commentary(rd)
     vqa.generate_route_vqa(rd)
     dreamer_gen.generate_route_dreamer(rd)
+    # a held-out route for the trainer's validation loop (split="val")
+    vd = _write_route(root, "v1/b0/routes_validation/Town12_val", n_frames=28)
+    commentary.generate_route_commentary(vd)
+    vqa.generate_route_vqa(vd)
     return root, rd
 
 
@@ -33,6 +37,7 @@ def _tiny_train_cfg(root, out_dir):
     tok = SimLingoTokenizer()
     cfg = compose(overrides=[
         "max_steps=4", "name=e2e", "log_every_n_steps=1",
+        "val_max_batches=2",
         "checkpoint_every_n_steps=2", "keep_checkpoints=2",
         "precision=f32",
     ])
@@ -70,9 +75,15 @@ def test_train_checkpoint_resume_eval(workspace, tmp_path):
 
     result = trainer.train(cfg)
     assert np.isfinite(result["metrics"]["loss"])
+    # the validation loop ran on the held-out routes_validation split
+    # (final-step validation; reference validation_step parity)
+    assert np.isfinite(result["metrics"]["val_loss"])
     run_dir = os.path.join(out_dir, "e2e")
     assert os.path.isfile(os.path.join(run_dir, "config.json"))
     assert os.path.isfile(os.path.join(run_dir, "metrics.jsonl"))
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        logged = [json.loads(l) for l in f]
+    assert any("val_loss" in m for m in logged)
     ckpts = os.listdir(os.path.join(run_dir, "checkpoints"))
     assert any(c.startswith("step_") for c in ckpts)
 
