@@ -202,6 +202,29 @@ def train(cfg: TrainConfig,
         sequence.disable()      # never leak the sp context past train()
 
 
+def _print_model_summary(params, mask_tree) -> None:
+    """Per-tower parameter counts incl. trainable split (the reference's
+    ModelSummary(max_depth=3) callback, train.py:184)."""
+    rows = []
+    total = total_t = 0
+    for name, sub in sorted(params.items()):
+        leaves = jax.tree_util.tree_leaves(sub)
+        n = sum(int(np.prod(l.shape)) for l in leaves)
+        m_leaves = jax.tree_util.tree_leaves(
+            mask_tree[name] if isinstance(mask_tree, dict) else mask_tree)
+        n_t = sum(int(np.prod(l.shape))
+                  for l, t in zip(leaves, m_leaves) if t)
+        rows.append((name, n, n_t))
+        total += n
+        total_t += n_t
+    width = max(len(r[0]) for r in rows) if rows else 5
+    print("model summary (params / trainable):")
+    for name, n, n_t in rows:
+        print(f"  {name:<{width}}  {n / 1e6:9.2f} M  {n_t / 1e6:9.2f} M")
+    print(f"  {'total':<{width}}  {total / 1e6:9.2f} M  "
+          f"{total_t / 1e6:9.2f} M")
+
+
 def _train_impl(cfg: TrainConfig,
                 make_synthetic: bool = False) -> Dict[str, Any]:
     jax.config.update("jax_default_prng_impl", "threefry2x32")
@@ -232,6 +255,8 @@ def _train_impl(cfg: TrainConfig,
     params = meshlib.shard_params(params, mesh)
 
     mask = ts.trainable_mask(params, ts.production_trainable)
+    _print_model_summary(params, mask)
+    lr_schedule = ts.onecycle_schedule(cfg.optimizer)
     opt = ts.make_masked_optimizer(cfg.optimizer, mask)
     state = ts.init_train_state(params, opt, trainable_mask_tree=mask)
     # place every remaining single-device leaf (optimizer counters, step) on
@@ -368,6 +393,9 @@ def _train_impl(cfg: TrainConfig,
                 dt = time.perf_counter() - t_log
                 n = cfg.log_every_n_steps if step != start_step else 1
                 host["samples_per_sec"] = batch_size * n / dt
+                # LearningRateMonitor analog: the schedule is a pure
+                # function of the step, evaluated host-side
+                host["lr"] = float(lr_schedule(step))
                 t_log = time.perf_counter()
                 logger.log(step + 1, host)
                 last_metrics = host
