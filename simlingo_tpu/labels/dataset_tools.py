@@ -45,6 +45,44 @@ def delete_failed_runs(data_root: str, dry_run: bool = True) -> List[str]:
     return failed
 
 
+def rename_failed_runs(data_root: str, undo: bool = False,
+                       dry_run: bool = True) -> List[str]:
+    """Mark failed runs with a FAILED_ directory prefix instead of deleting
+    (reference delete_infraction_routes.py RENAME / UNDO_RENAMING modes --
+    reversible quarantine; discovery globs match Town* so prefixed routes
+    drop out of every index)."""
+    moved: List[str] = []
+    if undo:
+        pattern = os.path.join(data_root, "data", "simlingo",
+                               "*", "*", "*", "FAILED_Town*")
+        for r in sorted(glob.glob(pattern)):
+            dst = os.path.join(os.path.dirname(r),
+                               os.path.basename(r)[len("FAILED_"):])
+            moved.append(r)
+            if not dry_run:
+                os.rename(r, dst)
+        return moved
+    for r in find_failed_runs(data_root):
+        dst = os.path.join(os.path.dirname(r),
+                           "FAILED_" + os.path.basename(r))
+        moved.append(r)
+        if not dry_run:
+            os.rename(r, dst)
+    return moved
+
+
+def count_frames(data_root: str) -> Dict[str, int]:
+    """Per-subdir file counts over the dataset (reference
+    count_json_gz_files.py): frames collected, labels generated."""
+    counts: Dict[str, int] = collections.Counter()
+    for route in _route_dirs(data_root):
+        for sub in os.listdir(route):
+            subdir = os.path.join(route, sub)
+            if os.path.isdir(subdir):
+                counts[sub] += len(os.listdir(subdir))
+    return dict(counts)
+
+
 def find_defect_jsons(data_root: str,
                       subdirs: Sequence[str] = ("measurements", "commentary",
                                                 "vqa", "dreamer", "boxes")

@@ -201,6 +201,31 @@ def test_dataset_tools(route):
     assert sum(counts.values()) >= 1
     plan = dt.upsample_plan({"a": 3, "b": 1})
     assert plan == {"a": 0, "b": 2}
+    frames = dt.count_frames(root)
+    assert frames["rgb"] >= 1 and frames["measurements"] >= 1
+
+
+def test_rename_failed_runs_roundtrip(tmp_path):
+    from simlingo_tpu.labels import dataset_tools as dt
+    from tests.test_data_pipeline import _write_route
+
+    root = str(tmp_path)
+    ok = _write_route(root, "v1/b0/routes_training/Town12_ok", n_frames=4)
+    bad = _write_route(root, "v1/b0/routes_training/Town12_bad", n_frames=4,
+                       crashed=True)
+    # dry run: reports, does not move
+    assert dt.rename_failed_runs(root, dry_run=True) == [bad]
+    assert os.path.isdir(bad)
+    # rename: the failed route leaves Town* discovery, the good one stays
+    dt.rename_failed_runs(root, dry_run=False)
+    assert not os.path.isdir(bad)
+    quarantined = os.path.join(os.path.dirname(bad), "FAILED_Town12_bad")
+    assert os.path.isdir(quarantined)
+    assert dt.find_failed_runs(root) == []          # gate no longer sees it
+    assert os.path.isdir(ok)
+    # undo restores the original name
+    dt.rename_failed_runs(root, undo=True, dry_run=False)
+    assert os.path.isdir(bad) and not os.path.isdir(quarantined)
 
 
 def test_bev_renderer():
