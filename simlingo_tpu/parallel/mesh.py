@@ -124,6 +124,34 @@ def batch_shardings(batch: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(f, batch)
 
 
+def put_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-place a host-local batch under the mesh's batch shardings.
+
+    Single-process: plain device_put (the array is the global batch).
+    Multi-process: each host holds only its LOCAL slice of the global batch
+    (the trainer hands each process a disjoint sampler slice);
+    jax.make_array_from_process_local_data assembles the global array from
+    the per-host shards without any cross-host transfer. Replicated leaves
+    (static metadata, 0-d scalars) must be identical on every host.
+    """
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(jax.device_put, batch,
+                                      batch_shardings(batch, mesh))
+    bs = batch_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    dp = mesh.shape["dp"] * mesh.shape["fsdp"]
+    pc = jax.process_count()
+
+    def f(x):
+        x = np.asarray(x)
+        # global leading dim = local * process_count; shard it when the full
+        # dp extent divides it (same rule as batch_shardings, global view)
+        s = bs if x.ndim >= 1 and (x.shape[0] * pc) % dp == 0 else rep
+        return jax.make_array_from_process_local_data(s, x)
+
+    return jax.tree_util.tree_map(f, batch)
+
+
 def shard_params(params: Any, mesh: Mesh, rules=PARTITION_RULES) -> Any:
     shardings = param_shardings(params, mesh, rules)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)

@@ -273,10 +273,16 @@ def _train_impl(cfg: TrainConfig,
     run_dir = os.path.join(cfg.output_dir, cfg.name)
     ckpt_dir = os.path.join(run_dir, "checkpoints")
     os.makedirs(run_dir, exist_ok=True)
-    with open(os.path.join(run_dir, "config.json"), "w") as f:
-        json.dump(to_dict(cfg), f, indent=2, default=str)
-    _dump_git_state(run_dir)
-    logger = make_logger(run_dir, cfg.name, to_dict(cfg))
+    # host-side run artifacts are primary-only on multi-host (checkpoint
+    # saves below stay on every process -- orbax writes are collective)
+    from simlingo_tpu.parallel.multihost import is_primary
+    if is_primary():
+        with open(os.path.join(run_dir, "config.json"), "w") as f:
+            json.dump(to_dict(cfg), f, indent=2, default=str)
+        _dump_git_state(run_dir)
+        logger = make_logger(run_dir, cfg.name, to_dict(cfg))
+    else:
+        logger = MultiLogger([])
 
     start_step = 0
     if cfg.resume:
@@ -305,19 +311,24 @@ def _train_impl(cfg: TrainConfig,
                         * cfg.data.base.max_num_grid)
         ccfg = CollateConfig(max_text_len=cfg.data.max_text_len,
                              num_image_tokens=n_img_tokens)
-        steps_per_epoch = max(1, sampler.num_samples // batch_size)
+        # multi-host: batch_size is PER PROCESS (Lightning per-GPU
+        # semantics); the global batch is batch_size * process_count, and
+        # every host loads a disjoint slice of the same deterministic pick
+        # sequence (resume-safe: picks depend only on step)
+        pc, pi = jax.process_count(), jax.process_index()
+        steps_per_epoch = max(1, sampler.num_samples // (batch_size * pc))
         total_steps = (cfg.max_steps if cfg.max_steps > 0
                        else steps_per_epoch * cfg.max_epochs)
 
         def make_batch(step):
-            picks = sampler.batch_at(step, batch_size)
-            rng = np.random.RandomState(cfg.seed * 7919 + step)
+            picks = sampler.batch_at(step, batch_size * pc)[
+                pi * batch_size:(pi + 1) * batch_size]
+            rng = np.random.RandomState(cfg.seed * 7919 + step * pc + pi)
             samples = [datasets[b].get(i, rng) for b, i in picks]
             # strip per-batch static metadata: it lives in the treedef and
             # would force a recompile of the train step every batch
             ex = collate(samples, tok, ccfg).strip_static()
-            return jax.tree_util.tree_map(
-                jax.device_put, ex, meshlib.batch_shardings(ex, mesh))
+            return meshlib.put_batch(ex, mesh)
 
     # ---- validation split (reference driving.py:274 validation_step over
     # datamodule.py:297 val_dataloader, run every check_val_every_n_epoch;
@@ -351,17 +362,17 @@ def _train_impl(cfg: TrainConfig,
     def run_validation(state) -> Dict[str, float]:
         """Mean forward-loss metrics over the val split (no grads, no aug),
         the epoch-aggregated val/loss of the reference's validation_step."""
-        n_batches = len(val_ds) // batch_size
+        gbs = batch_size * pc                     # global validation batch
+        n_batches = len(val_ds) // gbs
         if cfg.val_max_batches > 0:
             n_batches = min(n_batches, cfg.val_max_batches)
         sums: Dict[str, float] = {}
         for bi in range(n_batches):
             rng_v = np.random.RandomState(9973 + bi)   # augmentations are off
-            samples = [val_ds.get(bi * batch_size + j, rng_v)
+            samples = [val_ds.get(bi * gbs + pi * batch_size + j, rng_v)
                        for j in range(batch_size)]
             ex = collate(samples, tok, ccfg).strip_static()
-            ex = jax.tree_util.tree_map(
-                jax.device_put, ex, meshlib.batch_shardings(ex, mesh))
+            ex = meshlib.put_batch(ex, mesh)
             metrics, _ = eval_step(state["params"], ex)
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(jax.device_get(v))

@@ -66,6 +66,18 @@ def test_two_process_distributed_smoke(tmp_path):
         out = jax.pmap(lambda v: jax.lax.psum(v, "i"), axis_name="i")(
             jnp.ones((jax.local_device_count(),)) * (pid + 1))
         assert float(out[0]) == 2 * (1 + 2)      # 2 devices each of 1 and 2
+        # multi-host data feeding: each process contributes its LOCAL slice
+        # of the global batch via put_batch; a jitted global mean must see
+        # both hosts' data (proc0 rows = 1, proc1 rows = 2 -> mean 1.5)
+        import numpy as np
+        from simlingo_tpu.parallel import mesh as meshlib
+        mesh = meshlib.make_mesh(dp=4)
+        batch = {{"x": np.full((2, 3), pid + 1.0, np.float32),
+                 "meta": np.float32(7.0)}}
+        g = meshlib.put_batch(batch, mesh)
+        assert g["x"].shape == (4, 3), g["x"].shape   # global = 2 local x 2
+        mean = jax.jit(lambda b: b["x"].mean() + 0.0 * b["meta"])(g)
+        assert abs(float(mean) - 1.5) < 1e-6, float(mean)
         print(f"proc{{pid}} OK primary={{multihost.is_primary()}}")
     """)
     env = {k: v for k, v in os.environ.items()
