@@ -25,24 +25,65 @@ import jax
 import numpy as np
 
 
+_ASYNC_CKPTR = None
+
+
+def _async_ckptr():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async save is durable on disk."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(ckpt_dir: str, state: Dict[str, Any], step: int,
-                    keep: Optional[int] = None) -> str:
+                    keep: Optional[int] = None, block: bool = True) -> str:
+    """block=False overlaps the disk write with training: orbax's async
+    checkpointer copies device->host synchronously inside save() (so the
+    train step may donate the state buffers immediately after) and writes
+    in a background thread; at most one save is in flight. GC runs only
+    when nothing is in flight (a partially-written tmp dir must never be
+    listed as prunable)."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
     if os.path.isdir(path):      # idempotent: periodic + final save collide
         return path
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state)
-    ckptr.wait_until_finished()
+    if block:
+        wait_for_checkpoints()   # serialize with any pending async save
+        if os.path.isdir(path):
+            return path
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state)
+        ckptr.wait_until_finished()
+        if keep is not None:
+            _gc_checkpoints(ckpt_dir, keep)
+        return path
+    c = _async_ckptr()
+    c.wait_until_finished()      # previous save is durable now
     if keep is not None:
         _gc_checkpoints(ckpt_dir, keep)
+    c.save(path, state)
     return path
+
+
+def _finished_steps(ckpt_dir: str):
+    # exclude orbax in-flight/orphaned tmp dirs (step_X.orbax-...-tmp-...)
+    if not os.path.isdir(ckpt_dir):
+        return []
+    return sorted(d for d in os.listdir(ckpt_dir)
+                  if d.startswith("step_") and "tmp" not in d)
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    steps = _finished_steps(ckpt_dir)
     return os.path.join(ckpt_dir, steps[-1]) if steps else None
 
 
@@ -64,8 +105,7 @@ def restore_checkpoint(path: str, target: Dict[str, Any]) -> Dict[str, Any]:
 
 def _gc_checkpoints(ckpt_dir: str, keep: int) -> None:
     import shutil
-    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
-    for d in steps[:-keep]:
+    for d in _finished_steps(ckpt_dir)[:-keep]:
         shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
 
 

@@ -285,6 +285,41 @@ class PrivilegedRoutePlanner:
         self._write_commands(to_idx, to_idx + trans, back)
         self.changed_route = True
 
+    def extend_shift(self, old_to_idx: int, new_to_idx: int,
+                     lateral_shift: float,
+                     transition_length: float = 8.0) -> None:
+        """Push an existing shift's ramp-down from old_to_idx out to
+        new_to_idx (reference extend_lane_shift_transition_for_yield_to_
+        emergency_vehicle / _for_hazard_at_side_lane: the actor is still
+        there when the planned span ends, so the merge-back is deferred).
+
+        Exact by ramp algebra: the original span added off*rampdown over
+        [old_to, old_to+T]; this adds off*rampup over the same window
+        (cosine rampup == 1 - rampdown, so the sum holds the offset flat),
+        then the full offset until the new ramp-down before new_to_idx.
+        Offsets ride the ORIGINAL route's normals -- the shifted route is
+        ramping through this window and its own normals tilt by
+        atan(pi*off/2T). Must use the SAME transition_length as the
+        original shift.
+        """
+        n = len(self.route)
+        old_to_idx = int(np.clip(old_to_idx, 0, max(n - 1, 0)))
+        new_to_idx = int(np.clip(new_to_idx, old_to_idx, max(n - 1, 0)))
+        trans = max(int(round(transition_length / self.spacing)), 1)
+        prof = lateral_offset_profile(
+            n, old_to_idx, trans, new_to_idx - (old_to_idx + trans), trans)
+        self.route = self.route + (lateral_shift * prof)[:, None] \
+            * route_normals(self.route_original)
+        into = (self.CHANGELANELEFT if lateral_shift > 0
+                else self.CHANGELANERIGHT)
+        back = (self.CHANGELANERIGHT if lateral_shift > 0
+                else self.CHANGELANELEFT)
+        # the stale merge-back on [old_to, old_to+T] becomes lane-keeping;
+        # the real merge-back moves to new_to_idx
+        self._write_commands(old_to_idx, old_to_idx + trans, into)
+        self._write_commands(new_to_idx, new_to_idx + trans, back)
+        self.changed_route = True
+
     # -- stepping ----------------------------------------------------------
     def run_step(self, pos_global: Sequence[float]) -> int:
         """Advance the progress index (forward-only windowed search)."""

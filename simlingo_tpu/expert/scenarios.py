@@ -276,23 +276,40 @@ class ScenarioManager:
                 lim = (cfg.max_distance_hazard_side_lane_two_ways
                        if typ.endswith("TwoWays")
                        else cfg.max_distance_hazard_side_lane)
+                side = 1.0 if rec.get("direction", "left") == "left" \
+                    else -1.0
                 if dist_first < lim and not rec["changed_route"]:
                     i0, i1 = self._span(rec)
-                    side = 1.0 if rec.get("direction", "left") == "left" \
-                        else -1.0
                     self.planner.shift_route_between(
                         i0, i1, side * cfg.lane_width,
                         cfg.transition_smoothness_m)
                     rec["changed_route"] = True
                     rec["from_idx"], rec["to_idx"] = i0, i1
+                elif rec["changed_route"]:
+                    # the bicycles MOVE: defer the merge-back while the last
+                    # one is still beside/ahead of the planned span end
+                    # (reference extend_lane_shift_transition_for_hazard_at_
+                    # side_lane)
+                    last = rec.get("last_actor") or rec["first_actor"]
+                    last_idx = self.planner.index_of(
+                        np.asarray(last["position"], float)[:2])
+                    margin = int(10.0 / self.planner.spacing)
+                    if last_idx + margin > rec["to_idx"] \
+                            and self.planner.idx \
+                            > rec["to_idx"] - 2 * margin:
+                        new_to = last_idx + 2 * margin
+                        self.planner.extend_shift(
+                            rec["to_idx"], new_to, side * cfg.lane_width,
+                            cfg.transition_smoothness_m)
+                        rec["to_idx"] = new_to
 
             elif typ == "YieldToEmergencyVehicle":
+                side = 1.0 if rec.get("direction", "right") == "left" \
+                    else -1.0
                 if dist_first < cfg.default_max_distance_to_process \
                         and not rec["changed_route"]:
                     i0 = self.planner.idx
                     i1 = i0 + int(40.0 / self.planner.spacing)
-                    side = 1.0 if rec.get("direction", "right") == "left" \
-                        else -1.0
                     self.planner.shift_route_between(
                         i0, i1, side * cfg.lane_width,
                         cfg.transition_smoothness_m)
@@ -301,8 +318,25 @@ class ScenarioManager:
                 # finished once the emergency vehicle is ahead of the ego
                 emv = rec["first_actor"]
                 rel = np.asarray(emv["position"], float)[:2] - ego_pos
-                if rec["changed_route"] and np.linalg.norm(rel) > 20.0:
+                # forward = route tangent at the ego's progress index
+                r, i = self.planner.route, self.planner.idx
+                fwd = r[min(i + 50, len(r) - 1)] - r[max(i - 50, 0)]
+                fwd = fwd / max(float(np.linalg.norm(fwd)), 1e-6)
+                passed = float(rel @ fwd) > 20.0
+                if rec["changed_route"] and passed:
                     done.append(rec)
+                elif rec["changed_route"] and not passed \
+                        and self.planner.idx > rec["to_idx"] \
+                        - int(15.0 / self.planner.spacing):
+                    # still being overtaken when the planned span ends:
+                    # defer the merge-back (reference extend_lane_shift_
+                    # transition_for_yield_to_emergency_vehicle)
+                    new_to = rec["to_idx"] \
+                        + int(20.0 / self.planner.spacing)
+                    self.planner.extend_shift(
+                        rec["to_idx"], new_to, side * cfg.lane_width,
+                        cfg.transition_smoothness_m)
+                    rec["to_idx"] = new_to
 
         for rec in done:
             self.active.remove(rec)

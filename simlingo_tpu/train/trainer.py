@@ -415,8 +415,10 @@ def _train_impl(cfg: TrainConfig,
                       f"{host['samples_per_sec']:.2f} samples/s")
             if cfg.checkpoint_every_n_steps > 0 \
                     and (step + 1) % cfg.checkpoint_every_n_steps == 0:
+                # async: the disk write overlaps the next steps (orbax
+                # copies device->host inside save, so donation is safe)
                 ckpt.save_checkpoint(ckpt_dir, state, step + 1,
-                                     keep=cfg.keep_checkpoints)
+                                     keep=cfg.keep_checkpoints, block=False)
             if eval_step is not None and viz.every > 0 \
                     and (step + 1) % viz.every == 0:
                 try:

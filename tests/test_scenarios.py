@@ -97,6 +97,72 @@ def test_yield_to_emergency_vehicle_shifts_then_restores():
     assert sm.active == []
 
 
+def test_extend_shift_exact_algebra():
+    """extend_shift must equal one longer shift on a straight route: the
+    cosine ramp-up over the old ramp-down window sums to a flat hold
+    (route_planner.extend_shift docstring)."""
+    p1, p2 = _planner(), _planner()
+    i0, i1, i2 = p1.index_of([40.0, 0.0]), p1.index_of([60.0, 0.0]), \
+        p1.index_of([90.0, 0.0])
+    p1.shift_route_between(i0, i1, 3.5, 8.0)
+    p1.extend_shift(i1, i2, 3.5, 8.0)
+    p2.shift_route_between(i0, i2, 3.5, 8.0)
+    np.testing.assert_allclose(p1.route, p2.route, atol=1e-9)
+
+
+def test_yield_extends_while_emv_still_behind():
+    """The merge-back is deferred while the emergency vehicle has not
+    passed yet (reference extend_lane_shift_transition_for_yield_to_
+    emergency_vehicle)."""
+    p = _planner()
+    sm = ScenarioManager(p)
+    sm.set_active([{
+        "type": "YieldToEmergencyVehicle",
+        "first_actor": {"position": [30.0, 0.0], "extent": [2.5, 1.0]},
+        "direction": "right",
+    }])
+    p.run_step([10.0, 0.0])
+    sm.tick(8.0, 6.0, [10.0, 0.0])
+    to_idx0 = sm.active[0]["to_idx"]
+    end_x0 = p.route_original[to_idx0, 0]
+    # EMV still behind the ego when the planned span is almost over
+    sm.active[0]["first_actor"]["position"] = [40.0, -3.5]
+    for x in (30.0, 46.0):
+        p.run_step([x, -3.5])
+    sm.tick(8.0, 6.0, [46.0, -3.5])
+    assert sm.active, "record must not be dropped while the EMV is behind"
+    assert sm.active[0]["to_idx"] > to_idx0
+    # the offset HOLDS past the original span end instead of merging back
+    i_past = p.index_of([end_x0 + 5.0, -3.5])
+    assert p.route[i_past, 1] < -3.0
+    # and once the EMV is far ahead the record drops
+    sm.active[0]["first_actor"]["position"] = [120.0, 0.0]
+    sm.tick(8.0, 6.0, [46.0, -3.5])
+    assert sm.active == []
+
+
+def test_hazard_side_lane_extends_past_moving_bicycles():
+    p = _planner()
+    sm = ScenarioManager(p)
+    sm.set_active([{
+        "type": "HazardAtSideLane",
+        "first_actor": {"position": [40.0, 0.0], "extent": [1.0, 0.5]},
+        "last_actor": {"position": [48.0, 0.0], "extent": [1.0, 0.5]},
+        "direction": "left",
+    }])
+    p.run_step([20.0, 0.0])
+    sm.tick(8.0, 6.0, [20.0, 0.0])
+    to_idx0 = sm.active[0]["to_idx"]
+    # the bicycles rode forward past the planned span end; ego nears it
+    sm.active[0]["last_actor"]["position"] = \
+        [p.route_original[to_idx0, 0] + 10.0, 0.0]
+    ego_x = p.route_original[to_idx0, 0] - 12.0
+    for x in (35.0, min(ego_x, 60.0), ego_x):
+        p.run_step([x, 3.5])
+    sm.tick(8.0, 6.0, [ego_x, 3.5])
+    assert sm.active[0]["to_idx"] > to_idx0
+
+
 def test_set_active_preserves_state():
     p = _planner()
     sm = ScenarioManager(p)

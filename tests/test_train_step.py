@@ -135,6 +135,36 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
     assert ckpt.latest_checkpoint(str(tmp_path)) == path
 
 
+def test_async_checkpoint_overlap_gc_and_idempotence(tmp_path):
+    """block=False saves overlap training: back-to-back async saves stay
+    ordered (one in flight), GC never touches an in-flight write, the final
+    blocking save of the same step is idempotent, and restore sees the
+    latest durable state."""
+    import os
+
+    from simlingo_tpu.core import checkpoint as ckpt
+
+    d = str(tmp_path)
+    state = {"w": jnp.arange(12.0).reshape(3, 4), "step": jnp.int32(0)}
+    for s in (1, 2, 3):
+        state = dict(state, step=jnp.int32(s))
+        ckpt.save_checkpoint(d, state, s, keep=2, block=False)
+    ckpt.wait_for_checkpoints()
+    latest = ckpt.latest_checkpoint(d)
+    assert latest.endswith("step_00000003")
+    restored = ckpt.restore_checkpoint(latest, state)
+    assert int(restored["step"]) == 3
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(12.0).reshape(3, 4))
+    # final blocking save of an already-saved step: no-op, then GC prunes
+    p = ckpt.save_checkpoint(d, state, 3, keep=2, block=True)
+    assert p == latest
+    assert ckpt.save_checkpoint(d, dict(state, step=jnp.int32(4)), 4,
+                                keep=2, block=True).endswith("step_00000004")
+    kept = sorted(x for x in os.listdir(d) if x.startswith("step_"))
+    assert kept == ["step_00000003", "step_00000004"], kept
+
+
 def test_visualise_callback(tmp_path):
     """Reference-parity visualisation (VERDICT r2 #5): waypoint + route
     grids, text panel, projected camera overlay; log_image fan-out."""
