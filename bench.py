@@ -284,6 +284,10 @@ def _device_reachable(timeout_s: float = 90.0):
 
 
 if __name__ == "__main__":
+    # Persistent XLA compile cache: a sweep run (scripts/tpu_sweep_inproc.py)
+    # warms it, so this process skips the multi-minute train-step compile on
+    # slow-tunnel days.
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
     probe_error = None
     if os.environ.get("BENCH_SKIP_PROBE", "0") != "1":
         probe_error = _device_reachable()
