@@ -214,6 +214,7 @@ def main():
         prefetch = Prefetcher(make_batch, 0, num_workers=4)
         get_batch = prefetch.get
     else:
+        prefetch = None
         ex = synthetic_example(cfg, batch=batch, seq_len=seq_len,
                                num_patches=2, seed=0)
         ex = jax.device_put(ex)
@@ -249,6 +250,11 @@ def main():
     rtt = time.perf_counter() - t1
     dt = max(total - rtt, 1e-9) / steps
 
+    if prefetch is not None:
+        # stop the daemon workers: left running they keep synthesizing
+        # batches and calling jax.device_put after main() returns,
+        # contending with any measurement that follows in-process
+        prefetch.close()
     sps = batch / dt
     print(json.dumps({
         "metric": "train_samples_per_sec_per_chip",

@@ -3,8 +3,9 @@
 The per-config subprocess form (tpu_experiments_r3.sh) pays ~60-90 s of
 tunnel/device init per entry -- on a slow tunnel day that alone blows the
 per-run timeout before the first compile finishes. Running every config
-inside one process pays init once and keeps jit caches warm across entries
-that share shapes.
+inside one process pays init once; compiles are carried across entries by
+the persistent JAX_COMPILATION_CACHE_DIR (each bench.main() call builds
+fresh closures, so the in-memory pjit cache is NOT reused).
 
 Results append to the log as JSON lines the moment each entry finishes, so
 a mid-sweep kill still leaves everything measured so far on disk.
@@ -54,7 +55,10 @@ def run(desc, fn, **env):
             fn()
         for line in buf.getvalue().splitlines():
             if line.startswith("{"):
-                rec = json.loads(line)
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue  # stray '{'-prefixed log line, not a result
                 rec["exp"] = desc
                 rec["wall_s"] = round(time.time() - t0, 1)
                 log_line(rec)
@@ -67,6 +71,12 @@ def run(desc, fn, **env):
 
 if __name__ == "__main__":
     log_line({"exp": "sweep_start", "ts": time.strftime("%FT%TZ", time.gmtime())})
+    # Probe once before the queue: on a wedged tunnel bench.main would hang
+    # until the external timeout kills the sweep with nothing logged.
+    probe_error = bench._device_reachable()
+    if probe_error:
+        log_line({"exp": "sweep_abort", "error": probe_error})
+        sys.exit(1)
     # priority order: most valuable first; a mid-sweep timeout still leaves
     # the headline entries measured
     run("baseline batch6", bench.main)
