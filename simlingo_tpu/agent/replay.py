@@ -21,8 +21,6 @@ def replay_route(agent: LingoAgent, route_dir: str,
                  max_frames: Optional[int] = None,
                  start_frame: int = 0) -> List[Dict]:
     """Feed each recorded frame to the agent; collect controls + expert's."""
-    import cv2
-
     mdir = os.path.join(route_dir, "measurements")
     frames = sorted(int(f.split(".")[0]) for f in os.listdir(mdir)
                     if f.endswith(".json.gz"))
@@ -34,8 +32,8 @@ def replay_route(agent: LingoAgent, route_dir: str,
     for fi in frames:
         m = M.read_json_gz(os.path.join(mdir, f"{fi:04}.json.gz"))
         img_path = os.path.join(route_dir, "rgb", f"{fi:04}.jpg")
-        rgb = cv2.cvtColor(cv2.imread(img_path, cv2.IMREAD_COLOR),
-                           cv2.COLOR_BGR2RGB)
+        from simlingo_tpu.data.imageio import load_rgb
+        rgb = load_rgb(img_path)
         frame = AgentFrame(
             rgb=rgb,
             speed=float(m["speed"]),

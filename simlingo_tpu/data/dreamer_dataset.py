@@ -119,11 +119,10 @@ class DreamerDataset(DrivingDataset):
             else:
                 prompt = f"<INSTRUCTION_FOLLOWING> {prompt}"
 
-        import cv2
+        from simlingo_tpu.data.imageio import load_rgb
         img_path = os.path.join(route_dir, "rgb",
                                 f"{start + cfg.hist_len - 1:04}.jpg")
-        img = cv2.cvtColor(cv2.imread(img_path, cv2.IMREAD_COLOR),
-                           cv2.COLOR_BGR2RGB)
+        img = load_rgb(img_path)
         if getattr(cfg, "device_preprocess", False):
             tiles = np.ascontiguousarray(img, dtype=np.uint8)
         else:

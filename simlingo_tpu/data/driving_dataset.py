@@ -373,22 +373,31 @@ class DrivingDataset:
         answer = answer.replace("..", ".")
 
         # ---- image ----
-        import cv2
+        from simlingo_tpu.data.imageio import load_rgb, load_rgb_preprocessed
         img_path = os.path.join(route_dir, "rgb", f"{start + cfg.hist_len - 1:04}.jpg")
         if augment_sample:
             img_path = img_path.replace("rgb", "rgb_augmented")
-        img = cv2.cvtColor(cv2.imread(img_path, cv2.IMREAD_COLOR),
-                           cv2.COLOR_BGR2RGB)
-        if cfg.img_augmentation:
-            from simlingo_tpu.data.augment import image_augmenter
-            img = image_augmenter(img, rng, cfg.img_augmentation_prob)
-        if cfg.device_preprocess:
-            # ship the raw uint8 frame; crop/resize/normalize/tile run fused
-            # on-device inside the train step (models/simlingo.py)
-            tiles = np.ascontiguousarray(img, dtype=np.uint8)
-        else:
-            tiles = preprocess_numpy(img, cfg.image_size, cfg.max_num_grid,
-                                     do_bottom_crop=cfg.cut_bottom_quarter)
+        tiles = None
+        if not cfg.device_preprocess and not cfg.img_augmentation:
+            # no CPU-side augmentation between decode and preprocess: the
+            # whole decode->crop->resize->normalize->tile path can run as one
+            # native (C++/libjpeg, GIL-free) call; None => fall through
+            tiles = load_rgb_preprocessed(
+                img_path, cfg.image_size, cfg.max_num_grid,
+                do_bottom_crop=cfg.cut_bottom_quarter)
+        if tiles is None:
+            img = load_rgb(img_path)
+            if cfg.img_augmentation:
+                from simlingo_tpu.data.augment import image_augmenter
+                img = image_augmenter(img, rng, cfg.img_augmentation_prob)
+            if cfg.device_preprocess:
+                # ship the raw uint8 frame; crop/resize/normalize/tile run
+                # fused on-device inside the train step (models/simlingo.py)
+                tiles = np.ascontiguousarray(img, dtype=np.uint8)
+            else:
+                tiles = preprocess_numpy(img, cfg.image_size,
+                                         cfg.max_num_grid,
+                                         do_bottom_crop=cfg.cut_bottom_quarter)
 
         return RawSample(
             question=prompt, answer=answer,
