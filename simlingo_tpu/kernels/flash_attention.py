@@ -589,10 +589,26 @@ def _flash_gqa_bwd(causal, scale, block_q, block_k, res, dout):
     if env_bk:
         block_k = min(int(env_bk), S)
     elif (S <= 1280 and S <= bk_limit
-          and stack_est + staged_est < 18 * 2 ** 20):
+          and stack_est + staged_est < 17_900_000):
+        # single-kv-block path. Measured at G=7/bq=128/S=1024: batch 6
+        # (est 17.83e6) compiles at ~15.6 MiB scoped; batch 7 (est 18.35e6)
+        # allocates 16.11 MiB -- 116 KiB over the 16 MiB limit. The 17.9e6
+        # cut keeps the proven-good b6 cell and pushes b7+ to the kv split.
         block_k = S
     else:
-        block_k = min(512, bk_limit)
+        # the staged k/v operands scale with B, so the kv block must shrink
+        # as batch grows: measured b12/G=7/bq=128/S=1024 @ bk=512 allocates
+        # 16.52 MiB scoped (528 KiB over) = staged 6.3 MiB + 12 B/elem score
+        # tiles (s/dp f32 + p/ds bf16, 5.5 MiB) + ~5.5 MiB fixed (q/out/dout
+        # bf16 + dq f32 revisited blocks + slack); 14*G*T*D matches that
+        # measured fixed term. Pick the widest bk that fits.
+        fixed_est = 14 * G * T * D
+        block_k = 128
+        for cand in (512, 256):
+            scoped = staged_est + fixed_est + 12 * G * block_q * cand
+            if cand <= bk_limit and scoped < 15 * 2 ** 20:
+                block_k = cand
+                break
     block_k = max(128, block_k // 128 * 128)
     while S % block_k != 0:
         block_k //= 2

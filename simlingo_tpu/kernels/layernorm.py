@@ -37,10 +37,13 @@ def _interpret() -> bool:
 
 
 def _block_rows(n_rows: int, d: int, want: int = 256) -> int:
-    # x + y + dy fp32 working set per row ~ 12*D bytes; stay well under
-    # the ~16 MB VMEM budget
-    cap = max(8, ((4 * 1024 * 1024) // (12 * d)) // 8 * 8)
-    return min(want, cap, max(8, n_rows))
+    # Mosaic requires rank-1 block shapes (the per-row mean/rstd outputs)
+    # to be multiples of the 128 tiling, so row blocks are always a
+    # multiple of 128 (rows beyond n are padded). Working set per row is
+    # ~16*D bytes fp32 across x/y/dy/dx; stay well under the ~16 MB VMEM.
+    del n_rows
+    cap = max(128, ((8 * 1024 * 1024) // (16 * d)) // 128 * 128)
+    return min(want, cap)
 
 
 # ---------------------------------------------------------------------------

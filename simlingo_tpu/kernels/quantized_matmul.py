@@ -111,23 +111,59 @@ int8_matmul.defvjp(_int8_matmul_fwd, _int8_matmul_bwd)
 # channel) -- the GPTQ/AWQ storage layout, computed here as plain round-to-
 # nearest. The matmul never expands scales into the [K, N] domain: the dot
 # runs per group (batched dot_general over G) and the [G, M, N] partial sums
-# are scaled then reduced, so the weights cross HBM at int4 width (XLA packs
-# S4 2/byte) and nothing K x N-shaped is materialized at decode M.
+# are scaled then reduced, so nothing K x N-shaped is materialized at
+# decode M.
+#
+# Storage is NIBBLE-PACKED int8 (two int4 codes per byte, packed along the
+# reduction axis), NOT jnp.int4: sub-byte S4 arrays cannot currently be
+# relayouted at dispatch on the TPU runtime (device_put recurses between the
+# array's T(8,128)(8,1) layout and the executable's T(64,128)(8,1) -- a
+# RecursionError the moment a jitted function takes an S4 argument). Packed
+# int8 has none of that, the unpack (two shifts) fuses into the dot's
+# operand load, and the bytes crossing HBM are identical.
 
 INT4_GROUP = 128
 
 
+def pack_int4(w_int: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """int4 codes (any int dtype, values in [-8, 7]) -> packed int8.
+
+    Adjacent pairs along `axis` share a byte: even index -> low nibble,
+    odd index -> high nibble. Output has half the extent along `axis`.
+    """
+    w = jnp.asarray(w_int, jnp.int8)
+    axis = axis % w.ndim
+    assert w.shape[axis] % 2 == 0, "pack axis extent must be even"
+    lo = jax.lax.slice_in_dim(w, 0, w.shape[axis], 2, axis)
+    hi = jax.lax.slice_in_dim(w, 1, w.shape[axis], 2, axis)
+    return ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+
+
+def unpack_int4(p: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Packed int8 -> int8 tensor of int4 values, interleaved along `axis`
+    (inverse of pack_int4). The two arithmetic shifts are elementwise on the
+    packed bytes, so XLA fuses the unpack into the consumer's operand load."""
+    axis = axis % p.ndim
+    lo = ((p << 4) >> 4).astype(jnp.int8)   # arithmetic: sign-extends
+    hi = (p >> 4).astype(jnp.int8)
+    st = jnp.stack([lo, hi], axis=axis + 1)
+    shape = p.shape[:axis] + (p.shape[axis] * 2,) + p.shape[axis + 1:]
+    return st.reshape(shape)
+
+
 def quantize_weight4(w: jnp.ndarray, axis: int = 1, group: int = INT4_GROUP
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """axis=1: w [K, N] -> (w_q int4 [K, N], scale f32 [K//group, N]).
-    axis=0: w [V, H] -> (w_q int4 [V, H], scale f32 [V, H//group])
+    """axis=1: w [K, N] -> (w_q packed int8 [K//2, N], scale f32 [K//group, N]).
+    axis=0: w [V, H] -> (w_q packed int8 [V, H//2], scale f32 [V, H//group])
     (per-vocab-row groups; serves the gather and the tied LM head).
 
     Symmetric round-to-nearest onto [-7, 7] (the -8 code is unused to keep
-    the scale symmetric).
+    the scale symmetric); codes are nibble-packed along the reduction axis
+    (see pack_int4).
     """
     red = w.shape[0] if axis == 1 else w.shape[1]
     assert red % group == 0, f"reduction dim {red} % group {group} != 0"
+    assert group % 2 == 0
     G = red // group
     if axis == 1:
         K, N = w.shape
@@ -135,33 +171,36 @@ def quantize_weight4(w: jnp.ndarray, axis: int = 1, group: int = INT4_GROUP
         amax = jnp.abs(wg).max(axis=1)                      # [G, N]
         scale = jnp.maximum(amax, 1e-8) / 7.0
         w_q = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
-        return w_q.reshape(K, N).astype(jnp.int4), scale
+        return pack_int4(w_q.reshape(K, N), axis=0), scale
     V, H = w.shape
     wg = w.astype(jnp.float32).reshape(V, G, group)
     amax = jnp.abs(wg).max(axis=2)                          # [V, G]
     scale = jnp.maximum(amax, 1e-8) / 7.0
     w_q = jnp.clip(jnp.round(wg / scale[:, :, None]), -7, 7)
-    return w_q.reshape(V, H).astype(jnp.int4), scale
+    return pack_int4(w_q.reshape(V, H), axis=1), scale
 
 
 def dequantize_weight4(w_q: jnp.ndarray, scale: jnp.ndarray,
                        transpose_rhs: bool = False, dtype=jnp.bfloat16
                        ) -> jnp.ndarray:
-    """Expand (w_q, group scales) back to a dense weight (non-decode paths)."""
-    if transpose_rhs:                         # [V, H], scale [V, G]
-        V, H = w_q.shape
+    """Expand (packed w_q, group scales) back to a dense weight
+    (non-decode paths)."""
+    if transpose_rhs:                         # packed [V, H//2], scale [V, G]
+        w8 = unpack_int4(w_q, axis=1)
+        V, H = w8.shape
         G = scale.shape[1]
-        wb = w_q.astype(jnp.float32).reshape(V, G, H // G) * scale[:, :, None]
+        wb = w8.astype(jnp.float32).reshape(V, G, H // G) * scale[:, :, None]
         return wb.reshape(V, H).astype(dtype)
-    K, N = w_q.shape                          # scale [G, N]
+    w8 = unpack_int4(w_q, axis=0)             # packed [K//2, N], scale [G, N]
+    K, N = w8.shape
     G = scale.shape[0]
-    wb = w_q.astype(jnp.float32).reshape(G, K // G, N) * scale[:, None, :]
+    wb = w8.astype(jnp.float32).reshape(G, K // G, N) * scale[:, None, :]
     return wb.reshape(K, N).astype(dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def int4_matmul(x: jnp.ndarray,           # [..., K]
-                w_q: jnp.ndarray,         # [K, N] int4 ([V, K] if transpose)
+                w_q: jnp.ndarray,         # packed int8 [K//2, N] ([V, K//2] if transpose)
                 scale: jnp.ndarray,       # [G, N] f32  ([V, G] if transpose)
                 transpose_rhs: bool = False) -> jnp.ndarray:
     """y = x @ dequant(w_q, scale) with int4-width weight reads at decode M.
@@ -187,10 +226,13 @@ def _int4_matmul_impl(x, w_q, scale, transpose_rhs=False) -> jnp.ndarray:
         y = x2 @ (wb.T if transpose_rhs else wb)
         return y.astype(x.dtype).reshape(orig_shape[:-1] + (N,))
 
-    # decode: per-group batched dot; barrier keeps the int4->bf16 convert
-    # inside the decode while_loop (same reasoning as the int8 path above)
+    # decode: per-group batched dot; barrier keeps the unpack+convert inside
+    # the decode while_loop (same reasoning as the int8 path above); the
+    # nibble unpack is elementwise on the packed bytes and fuses into the
+    # dot's operand load, so weights cross HBM at int4 width
     xg = x2.reshape(M, G, k).transpose(1, 0, 2)             # [G, M, k]
-    wb = jax.lax.optimization_barrier(w_q).astype(x.dtype)
+    wb = unpack_int4(jax.lax.optimization_barrier(w_q),
+                     axis=1 if transpose_rhs else 0).astype(x.dtype)
     if transpose_rhs:
         wg = wb.reshape(N, G, k).transpose(1, 0, 2)         # [G, N, k]
         yg = jax.lax.dot_general(xg, wg, (((2,), (2,)), ((0,), (0,))),
@@ -219,28 +261,30 @@ def _int4_matmul_bwd(transpose_rhs, res, g):
     M = int(np.prod(orig[:-1])) if len(orig) > 1 else 1
     g2 = g.reshape(M, N).astype(jnp.float32)
     if transpose_rhs:
-        # fwd: y = x @ dequant(w_q [V, H], scale [V, G]).T; dx [M, H]
-        V, H = w_q.shape
+        # fwd: y = x @ dequant(w_q packed [V, H//2], scale [V, G]).T; dx [M, H]
+        V, H = w_q.shape[0], w_q.shape[1] * 2
         G = scale.shape[1]
         if M > 64:
             dx = g2 @ dequantize_weight4(w_q, scale, True, jnp.float32)
         else:
             gs = g2[None] * scale.T[:, None, :]                 # [G, M, V]
-            wv = jax.lax.optimization_barrier(w_q).astype(jnp.float32)
+            wv = unpack_int4(jax.lax.optimization_barrier(w_q),
+                             axis=1).astype(jnp.float32)
             wv = wv.reshape(V, G, H // G).transpose(1, 0, 2)    # [G, V, k]
             dxg = jax.lax.dot_general(gs, wv, (((2,), (1,)), ((0,), (0,))),
                                       preferred_element_type=jnp.float32)
             dx = dxg.transpose(1, 0, 2).reshape(M, H)
         out_k = H
     else:
-        # fwd: y = x @ dequant(w_q [K, N], scale [G, N]); dx [M, K]
-        K, _ = w_q.shape
+        # fwd: y = x @ dequant(w_q packed [K//2, N], scale [G, N]); dx [M, K]
+        K = w_q.shape[0] * 2
         G = scale.shape[0]
         if M > 64:
             dx = g2 @ dequantize_weight4(w_q, scale, False, jnp.float32).T
         else:
             gs = g2[None] * scale[:, None, :]                   # [G, M, N]
-            wk = jax.lax.optimization_barrier(w_q).astype(jnp.float32)
+            wk = unpack_int4(jax.lax.optimization_barrier(w_q),
+                             axis=0).astype(jnp.float32)
             wk = wk.reshape(G, K // G, N)                       # [G, k, N]
             dxg = jax.lax.dot_general(gs, wk, (((2,), (2,)), ((0,), (0,))),
                                       preferred_element_type=jnp.float32)

@@ -193,13 +193,18 @@ def embedding_init(key, vocab: int, dim: int, std: float = 0.02,
 def embed(p: Params, ids: jnp.ndarray, *, dtype=None) -> jnp.ndarray:
     if "w_q" in p:      # per-row-quantized table (core/quantize.py)
         ids = jnp.clip(ids, 0, p["w_q"].shape[0] - 1)
-        rows = jnp.take(p["w_q"], ids, axis=0).astype(dtype or jnp.float32)
-        sc = jnp.take(p["scale"], ids, axis=0).astype(rows.dtype)
+        rows = jnp.take(p["w_q"], ids, axis=0)
+        sc = jnp.take(p["scale"], ids, axis=0)
         if sc.ndim == rows.ndim:          # int4: per-row GROUP scales [.., G]
+            # rows are nibble-PACKED int8 [.., H//2] (quantized_matmul)
+            from simlingo_tpu.kernels.quantized_matmul import unpack_int4
+            rows = unpack_int4(rows, axis=-1).astype(dtype or jnp.float32)
+            sc = sc.astype(rows.dtype)
             H, G = rows.shape[-1], sc.shape[-1]
             rows = rows.reshape(rows.shape[:-1] + (G, H // G)) * sc[..., None]
             return rows.reshape(rows.shape[:-2] + (H,))
-        return rows * sc[..., None]       # int8: one scale per row
+        rows = rows.astype(dtype or jnp.float32)
+        return rows * sc.astype(rows.dtype)[..., None]  # int8: scale per row
     w = p["w"]
     if dtype is not None:
         w = w.astype(dtype)

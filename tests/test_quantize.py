@@ -47,7 +47,9 @@ def test_int4_matmul_exact_vs_dequantized(M):
     x = jnp.asarray(rng.randn(M, 96).astype(np.float32))
     w = jnp.asarray(rng.randn(96, 160).astype(np.float32) * 0.05)
     w_q, scale = quantize_weight4(w, axis=1, group=32)
-    assert w_q.dtype == jnp.int4 and scale.shape == (3, 160)
+    # nibble-packed storage: int8 bytes, half the reduction extent
+    assert w_q.dtype == jnp.int8 and w_q.shape == (48, 160)
+    assert scale.shape == (3, 160)
     y = int4_matmul(x, w_q, scale)
     ref = x @ dequantize_weight4(w_q, scale, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
@@ -147,7 +149,7 @@ def test_int4_generation_close_to_bf16():
     out_fp = runner.generate_and_drive(params, ex.driving_input, cfg, gen_cfg)
     qparams = Q.quantize_for_inference(params, cfg.llm, bits=4, group=16)
     q0 = qparams["llm"]["layers"]["0"]["attn"]["q"]
-    assert q0["w_q"].dtype == jnp.int4 and q0["scale"].ndim == 2
+    assert q0["w_q"].dtype == jnp.int8 and q0["scale"].ndim == 2  # packed
     out_q = runner.generate_and_drive(qparams, ex.driving_input, cfg, gen_cfg)
 
     match = (np.asarray(out_fp.language_tokens)
