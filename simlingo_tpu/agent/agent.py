@@ -88,12 +88,12 @@ class LingoAgent:
         from simlingo_tpu.data.image_pipe import preprocess_device
 
         def _with_device_preprocess(fn):
-            def wrapped(p, d):
+            def wrapped(p, d, *extra):
                 raw = d.pixel_values                      # [B, H, W, 3] uint8
                 tiles = preprocess_device(
                     raw, image_size=model_cfg.vit.image_size,
                     grid=(2, 1), do_bottom_crop=True).astype(compute_dtype)
-                return fn(p, d.replace(pixel_values=tiles))
+                return fn(p, d.replace(pixel_values=tiles), *extra)
             return wrapped
 
         self._generate = jax.jit(_with_device_preprocess(
@@ -102,6 +102,23 @@ class LingoAgent:
         self._drive_only = jax.jit(_with_device_preprocess(
             lambda p, d: runner.drive_only(p, d, model_cfg,
                                            compute_dtype=compute_dtype)))
+        # speculative CoT: same output tokens as _generate (drafts are
+        # verified against the model's own argmax), fewer LLM forwards;
+        # draft tables rebuilt every frame from the rolling corpus of the
+        # agent's recent commentary (config.speculative_cot)
+        self._spec_corpus: list = []
+        self._draft_tables = None
+        if self.cfg.use_cot and self.cfg.speculative_cot:
+            from simlingo_tpu.infer import speculative as _spec
+
+            def _gen_spec(p, d, t):
+                return _spec.generate_and_drive_spec(
+                    p, d, model_cfg, gen_cfg, t, spec_k=self.cfg.spec_k,
+                    compute_dtype=compute_dtype)
+            self._generate_spec = jax.jit(_with_device_preprocess(_gen_spec))
+
+        if self.cfg.warmup_compile:
+            self.warmup()
 
         self.step_count = 0
         self.stuck_count = 0
@@ -113,6 +130,51 @@ class LingoAgent:
         import os
         self.metric_path = os.environ.get("SIMLINGO_METRIC_INFO")
         self._metric_file = open(self.metric_path, "a") if self.metric_path else None
+
+    # ------------------------------------------------------------------
+    def warmup(self) -> None:
+        """Compile every per-frame program on a dummy frame at setup time
+        so no simulator tick pays a jit compile (the leaderboard grants
+        setup time before the route starts; a mid-episode compile stall
+        would blow the frame budget). Shapes match production exactly:
+        camera dims from config, left-padded prompt, production draft-table
+        sizes."""
+        import jax
+        import jax.numpy as jnp
+        frame = AgentFrame(
+            rgb=np.zeros((self.cfg.camera_height, self.cfg.camera_width, 3),
+                         np.uint8),
+            speed=0.0, target_point=np.array([5.0, 0.0]),
+            next_target_point=np.array([10.0, 0.0]))
+        di = self.make_input(frame)
+        jax.block_until_ready(self._drive_only(self.params, di))
+        if self.cfg.use_cot:
+            jax.block_until_ready(self._generate(self.params, di))
+            if self.cfg.speculative_cot:
+                from simlingo_tpu.infer import speculative as _spec
+                tables = _spec.build_draft_tables(
+                    [[0, 1, 2]], self.model_cfg.llm.vocab_size)
+                dt = jax.device_put(
+                    {k: jnp.asarray(v) for k, v in tables.items()})
+                jax.block_until_ready(
+                    self._generate_spec(self.params, di, dt))
+
+    # ------------------------------------------------------------------
+    def _refresh_draft(self, tokens: List[int]) -> None:
+        """Rebuild the speculative-draft tables from the rolling corpus of
+        recent commentary (host-side, ~1 ms for a few hundred tokens).
+        Consecutive frames produce near-identical templated text, so the
+        previous frames are the best available draft source."""
+        from simlingo_tpu.infer import speculative as _spec
+        import jax
+        import jax.numpy as jnp
+        self._spec_corpus.append(list(tokens))
+        if len(self._spec_corpus) > self.cfg.spec_corpus_frames:
+            self._spec_corpus.pop(0)
+        tables = _spec.build_draft_tables(self._spec_corpus,
+                                          self.model_cfg.llm.vocab_size)
+        self._draft_tables = jax.device_put(
+            {k: jnp.asarray(v) for k, v in tables.items()})
 
     # ------------------------------------------------------------------
     def filter_ego_state(self, pos_xy: np.ndarray, yaw: float, speed: float
@@ -185,7 +247,10 @@ class LingoAgent:
 
         di = self.make_input(frame)
         if self.cfg.use_cot:
-            out = self._generate(self.params, di)
+            if self._draft_tables is not None:
+                out = self._generate_spec(self.params, di, self._draft_tables)
+            else:
+                out = self._generate(self.params, di)
         else:
             out = self._drive_only(self.params, di)
         route = np.asarray(out.route[0], np.float64)
@@ -196,6 +261,8 @@ class LingoAgent:
             language_tokens = [int(t) for t in
                                np.asarray(out.language_tokens[0][:n])]
             self.last_language = self.tok.decode(language_tokens)
+            if self.cfg.speculative_cot and language_tokens:
+                self._refresh_draft(language_tokens)
 
         steer, throttle, brake = self.controller.control_pid(
             route, float(frame.speed), speed_wps)

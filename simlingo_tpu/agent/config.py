@@ -21,6 +21,17 @@ class AgentConfig:
     # w4a16 (group-128 scales): halves decode weight bytes again; opt-in
     # pending quality validation on real checkpoints (overrides int8_llm)
     int4_llm: bool = False
+    # Speculative CoT decode (infer/speculative.py): n-gram drafts from the
+    # agent's own recent commentary (consecutive frames produce near-
+    # identical templated text), verified against the model's argmax --
+    # output tokens are bit-identical to plain greedy, only faster. The
+    # first CoT frame decodes plain-greedy (no draft corpus yet).
+    speculative_cot: bool = True
+    spec_k: int = 8                      # chunk size per speculation round
+    spec_corpus_frames: int = 8          # rolling draft-corpus window
+    # compile every per-frame program at setup (before the route starts)
+    # so no simulator tick pays a jit compile
+    warmup_compile: bool = True
 
     carla_fps: int = 20
     # JPEG round-trip the camera frame so inference sees the same compression

@@ -88,8 +88,11 @@ def _ln_bwd_kernel(x_ref, scale_ref, mean_ref, rstd_ref, dy_ref,
     m1 = dxhat.mean(axis=-1, keepdims=True)
     m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
     dx_ref[...] = (rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
-    dscale_ref[...] = (dy * xhat).sum(axis=0)[None, :]
-    dbias_ref[...] = dy.sum(axis=0)[None, :]
+    # per-grid-step partials live in a rank-3 [grid, 1, d] output: Mosaic
+    # requires the block's last two dims be (8,128)-aligned OR equal to the
+    # array dims, and (1, d) blocks of a [grid, d] array satisfy neither
+    dscale_ref[...] = (dy * xhat).sum(axis=0)[None, None, :]
+    dbias_ref[...] = dy.sum(axis=0)[None, None, :]
 
 
 def _rms_bwd_kernel(x_ref, scale_ref, rstd_ref, dy_ref,
@@ -101,7 +104,7 @@ def _rms_bwd_kernel(x_ref, scale_ref, rstd_ref, dy_ref,
     dxhat = dy * scale_ref[...].astype(jnp.float32)
     m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
     dx_ref[...] = (rstd * (dxhat - xhat * m2)).astype(dx_ref.dtype)
-    dscale_ref[...] = (dy * xhat).sum(axis=0)[None, :]
+    dscale_ref[...] = (dy * xhat).sum(axis=0)[None, None, :]   # [1, 1, d]
 
 
 # ---------------------------------------------------------------------------
@@ -174,16 +177,16 @@ def _ln_vjp_bwd(eps, res, dy):
                   pl.BlockSpec((block,), lambda i: (i,)),
                   pl.BlockSpec((block, d), lambda i: (i, 0))],
         out_specs=[pl.BlockSpec((block, d), lambda i: (i, 0)),
-                   pl.BlockSpec((1, d), lambda i: (i, 0)),
-                   pl.BlockSpec((1, d), lambda i: (i, 0))],
+                   pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0))],
         out_shape=[jax.ShapeDtypeStruct((n_pad, d), x.dtype),
-                   jax.ShapeDtypeStruct((grid, d), jnp.float32),
-                   jax.ShapeDtypeStruct((grid, d), jnp.float32)],
+                   jax.ShapeDtypeStruct((grid, 1, d), jnp.float32),
+                   jax.ShapeDtypeStruct((grid, 1, d), jnp.float32)],
         interpret=_interpret(),
     )(x2, scale, mean_p, rstd_p, dy2)
     dx = dx[:n].reshape(orig_shape)
-    dscale = dscale_p.sum(axis=0).astype(scale.dtype)
-    dbias = dbias_p.sum(axis=0).astype(scale.dtype)
+    dscale = dscale_p.sum(axis=(0, 1)).astype(scale.dtype)
+    dbias = dbias_p.sum(axis=(0, 1)).astype(scale.dtype)
     return dx, dscale, dbias
 
 
@@ -243,13 +246,13 @@ def _rms_vjp_bwd(eps, res, dy):
                   pl.BlockSpec((block,), lambda i: (i,)),
                   pl.BlockSpec((block, d), lambda i: (i, 0))],
         out_specs=[pl.BlockSpec((block, d), lambda i: (i, 0)),
-                   pl.BlockSpec((1, d), lambda i: (i, 0))],
+                   pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0))],
         out_shape=[jax.ShapeDtypeStruct((n_pad, d), x.dtype),
-                   jax.ShapeDtypeStruct((grid, d), jnp.float32)],
+                   jax.ShapeDtypeStruct((grid, 1, d), jnp.float32)],
         interpret=_interpret(),
     )(x2, scale, rstd_p, dy2)
     dx = dx[:n].reshape(orig_shape)
-    dscale = dscale_p.sum(axis=0).astype(scale.dtype)
+    dscale = dscale_p.sum(axis=(0, 1)).astype(scale.dtype)
     return dx, dscale
 
 
