@@ -114,8 +114,9 @@ class LingoAgent:
             def _gen_spec(p, d, t):
                 return _spec.generate_and_drive_spec(
                     p, d, model_cfg, gen_cfg, t, spec_k=self.cfg.spec_k,
-                    compute_dtype=compute_dtype)
+                    compute_dtype=compute_dtype, return_stats=True)
             self._generate_spec = jax.jit(_with_device_preprocess(_gen_spec))
+        self.spec_stats: list = []   # (rounds, gen_len) per speculative frame
 
         if self.cfg.warmup_compile:
             self.warmup()
@@ -248,7 +249,10 @@ class LingoAgent:
         di = self.make_input(frame)
         if self.cfg.use_cot:
             if self._draft_tables is not None:
-                out = self._generate_spec(self.params, di, self._draft_tables)
+                out, st = self._generate_spec(self.params, di,
+                                              self._draft_tables)
+                self.spec_stats.append((int(st["rounds"]),
+                                        int(st["gen_len"])))
             else:
                 out = self._generate(self.params, di)
         else:

@@ -100,6 +100,54 @@ def test_agent_replay_end_to_end(tmp_path):
         assert np.isfinite(r["route"]).all()
     stats = agent.latency_stats()
     assert stats["p50_ms"] > 0
+    # frame 1 decodes plain-greedy (no draft corpus yet); frames 2-3 run
+    # the speculative path with the rolling previous-frames draft (exact
+    # parity regardless of acceptance -- a random-init tiny model need not
+    # repeat itself across frames, so acceptance itself is asserted in
+    # test_agent_speculative_acceptance_on_repeated_frame)
+    assert len(agent.spec_stats) == 2, agent.spec_stats
+    assert all(gl >= 1 and rounds >= 1 for rounds, gl in agent.spec_stats)
+    # a fresh frame never runs the spec path before the draft exists
+    assert agent._draft_tables is not None
+
+
+def test_agent_speculative_acceptance_on_repeated_frame(tmp_path):
+    """Deterministic acceptance check: feed the SAME frame twice. Frame 1
+    decodes plain-greedy and seeds the draft corpus; frame 2's speculative
+    decode must accept multi-token chunks (output is deterministic-greedy,
+    so the previous-frame draft is a perfect oracle)."""
+    import jax
+    import jax.numpy as jnp
+    from simlingo_tpu.agent.agent import AgentFrame, LingoAgent
+    from simlingo_tpu.data.tokenizer import SimLingoTokenizer
+    from simlingo_tpu.models import simlingo
+    from simlingo_tpu.models.qwen2 import Qwen2Config
+    from simlingo_tpu.models.simlingo import SimLingoConfig
+    from simlingo_tpu.models.vit import ViTConfig
+
+    tok = SimLingoTokenizer()
+    cfg = SimLingoConfig(
+        vit=ViTConfig(hidden_size=64, num_layers=2, num_heads=4,
+                      intermediate_size=128, image_size=448, patch_size=56,
+                      projector_out=64),
+        llm=Qwen2Config.tiny(vocab_size=tok.tk.vocab_size + 8),
+        img_context_token_id=tok.img_context_id,
+        remat_vision=False, remat_llm=False)
+    params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
+    acfg = AgentConfig(use_cot=True, max_new_tokens=8, spec_k=4,
+                       initial_frames_delay=0, jpeg_roundtrip=False,
+                       eval_route_as="target_point")
+    agent = LingoAgent(params, cfg, acfg, tokenizer=tok,
+                       max_prompt_len=256, compute_dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    frame = AgentFrame(rgb=rng.randint(0, 255, (512, 1024, 3), np.uint8),
+                       speed=3.0, target_point=np.array([8.0, 0.3]),
+                       next_target_point=np.array([16.0, 1.0]))
+    r1 = agent.run_step(frame)
+    r2 = agent.run_step(frame)
+    assert r1["language"] == r2["language"]
+    (rounds, gl), = agent.spec_stats
+    assert gl / (rounds + 1) > 1.5, agent.spec_stats
 
 
 def test_agent_filter_ego_state_beats_raw_gps():
