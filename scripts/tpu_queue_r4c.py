@@ -25,16 +25,30 @@ import bench  # noqa: E402
 import scripts.tpu_sweep_inproc as sw  # noqa: E402
 from scripts.tpu_sweep_inproc import log_line, run  # noqa: E402
 
+def wait_healthy(tag: str, attempts: int = 24, sleep_s: int = 300) -> bool:
+    """The axon tunnel often wedges for 10-60 min after ANY process that
+    held a device context exits (docs/KNOWN_ISSUES.md) -- including our own
+    previous queue step. Probe-wait between steps instead of aborting."""
+    for i in range(attempts):
+        err = bench._device_reachable()
+        if not err:
+            if i:
+                log_line({"exp": f"probe {tag}", "recovered_after": i})
+            return True
+        time.sleep(sleep_s)
+    log_line({"exp": f"probe {tag}", "error": "gave_up_wedged"})
+    return False
+
+
 if __name__ == "__main__":
     sw.LOG = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_r4c_queue.log"
     log_line({"exp": "queue_r4c_start",
               "ts": time.strftime("%FT%TZ", time.gmtime())})
-    probe_error = bench._device_reachable()
-    if probe_error:
-        log_line({"exp": "queue_abort", "error": probe_error})
+    if not wait_healthy("start"):
         sys.exit(1)
     run("pallas-LN batch6", bench.main, SIMLINGO_LN_IMPL="pallas")
     # microbench runs in a subprocess (separate device context)
+    wait_healthy("mb_int4")
     t0 = time.time()
     r = subprocess.run(
         [sys.executable, "scripts/mb_int4.py",
@@ -46,6 +60,7 @@ if __name__ == "__main__":
               "err": r.stderr.decode(errors="replace").strip()[-400:]
               if r.returncode else ""})
     # driver-style full bench (warms every compile the driver will need)
+    wait_healthy("full bench")
     t0 = time.time()
     r = subprocess.run([sys.executable, "bench.py"], capture_output=True,
                        timeout=3600, cwd=os.path.dirname(
