@@ -10,8 +10,9 @@ in-register: load bf16, accumulate stats in fp32, write bf16 -- one read
 
 Backward (custom VJP): dx is computed from the saved per-row (mean, rstd)
 with the standard reduction identities; the parameter gradients are
-accumulated as per-row-block partials (one [n_blocks, D] array) and
-summed outside -- no cross-program atomics needed.
+accumulated across the sequential TPU grid into a single (1, d) output
+block with a constant index map (the block stays VMEM-resident across
+grid steps) -- no cross-program atomics needed.
 
 Selection: models/layers.py routes through these when
 SIMLINGO_LN_IMPL=pallas (default stays XLA until the chip-measured win is
@@ -37,10 +38,10 @@ def _interpret() -> bool:
 
 
 def _block_rows(n_rows: int, d: int, want: int = 256) -> int:
-    # Mosaic requires rank-1 block shapes (the per-row mean/rstd outputs)
-    # to be multiples of the 128 tiling, so row blocks are always a
-    # multiple of 128 (rows beyond n are padded). Working set per row is
-    # ~16*D bytes fp32 across x/y/dy/dx; stay well under the ~16 MB VMEM.
+    # Row blocks are multiples of 128 (rows beyond n are padded) so the
+    # [rows, 1] stat arrays stay (8, 128)-tile aligned. Working set per
+    # row is ~16*D bytes fp32 across x/y/dy/dx; stay well under the
+    # ~16 MB scoped VMEM.
     del n_rows
     cap = max(128, ((8 * 1024 * 1024) // (16 * d)) // 128 * 128)
     return min(want, cap)
@@ -60,8 +61,11 @@ def _ln_fwd_kernel(x_ref, scale_ref, bias_ref, o_ref, mean_ref, rstd_ref,
     y = xc * rstd * scale_ref[...].astype(jnp.float32) \
         + bias_ref[...].astype(jnp.float32)
     o_ref[...] = y.astype(o_ref.dtype)
-    mean_ref[...] = mean[:, 0]
-    rstd_ref[...] = rstd[:, 0]
+    # stats are rank-2 [rows, 1]: rank-1 f32 arrays get XLA's T(1024) 1-D
+    # tiling, which mismatches Mosaic's block-derived T(block) layout; the
+    # [rows, 1] form uses the ordinary (8, 128) 2-D tiling on both sides
+    mean_ref[...] = mean
+    rstd_ref[...] = rstd
 
 
 def _rms_fwd_kernel(x_ref, scale_ref, o_ref, rstd_ref, *, eps: float):
@@ -70,7 +74,7 @@ def _rms_fwd_kernel(x_ref, scale_ref, o_ref, rstd_ref, *, eps: float):
     rstd = jax.lax.rsqrt(var + eps)
     o_ref[...] = (x * rstd
                   * scale_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
-    rstd_ref[...] = rstd[:, 0]
+    rstd_ref[...] = rstd
 
 
 # ---------------------------------------------------------------------------
@@ -81,30 +85,41 @@ def _ln_bwd_kernel(x_ref, scale_ref, mean_ref, rstd_ref, dy_ref,
                    dx_ref, dscale_ref, dbias_ref):
     x = x_ref[...].astype(jnp.float32)
     dy = dy_ref[...].astype(jnp.float32)
-    mean = mean_ref[...][:, None]
-    rstd = rstd_ref[...][:, None]
+    mean = mean_ref[...]                     # [rows, 1]
+    rstd = rstd_ref[...]
     xhat = (x - mean) * rstd
     dxhat = dy * scale_ref[...].astype(jnp.float32)
     m1 = dxhat.mean(axis=-1, keepdims=True)
     m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
     dx_ref[...] = (rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
-    # per-grid-step partials live in a rank-3 [grid, 1, d] output: Mosaic
-    # requires the block's last two dims be (8,128)-aligned OR equal to the
-    # array dims, and (1, d) blocks of a [grid, d] array satisfy neither
-    dscale_ref[...] = (dy * xhat).sum(axis=0)[None, None, :]
-    dbias_ref[...] = dy.sum(axis=0)[None, None, :]
+    # Parameter grads: the TPU grid is sequential, so accumulate partials
+    # into a single (1, d) output block with a constant index map -- the
+    # block stays resident in VMEM across grid steps and is written back
+    # once.  (A per-step [grid, 1, d] partials output does NOT lower:
+    # Mosaic squeezes the unit middle dim and then rejects the resulting
+    # (1, d) block of a [grid, d] array -- row dim neither 8-aligned nor
+    # equal to the array dim.)
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dscale_ref[...] = jnp.zeros_like(dscale_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+    dscale_ref[...] += (dy * xhat).sum(axis=0)[None, :]
+    dbias_ref[...] += dy.sum(axis=0)[None, :]
 
 
 def _rms_bwd_kernel(x_ref, scale_ref, rstd_ref, dy_ref,
                     dx_ref, dscale_ref):
     x = x_ref[...].astype(jnp.float32)
     dy = dy_ref[...].astype(jnp.float32)
-    rstd = rstd_ref[...][:, None]
+    rstd = rstd_ref[...]                     # [rows, 1]
     xhat = x * rstd
     dxhat = dy * scale_ref[...].astype(jnp.float32)
     m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
     dx_ref[...] = (rstd * (dxhat - xhat * m2)).astype(dx_ref.dtype)
-    dscale_ref[...] = (dy * xhat).sum(axis=0)[None, None, :]   # [1, 1, d]
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dscale_ref[...] = jnp.zeros_like(dscale_ref)
+    dscale_ref[...] += (dy * xhat).sum(axis=0)[None, :]
 
 
 # ---------------------------------------------------------------------------
@@ -137,16 +152,16 @@ def _ln_fwd(x, scale, bias, eps):
         functools.partial(_ln_fwd_kernel, eps=eps),
         grid=(grid,),
         in_specs=[pl.BlockSpec((block, d), lambda i: (i, 0)),
-                  pl.BlockSpec((d,), lambda i: (0,)),
-                  pl.BlockSpec((d,), lambda i: (0,))],
+                  pl.BlockSpec((1, d), lambda i: (0, 0)),
+                  pl.BlockSpec((1, d), lambda i: (0, 0))],
         out_specs=[pl.BlockSpec((block, d), lambda i: (i, 0)),
-                   pl.BlockSpec((block,), lambda i: (i,)),
-                   pl.BlockSpec((block,), lambda i: (i,))],
+                   pl.BlockSpec((block, 1), lambda i: (i, 0)),
+                   pl.BlockSpec((block, 1), lambda i: (i, 0))],
         out_shape=[jax.ShapeDtypeStruct((n_pad, d), x.dtype),
-                   jax.ShapeDtypeStruct((n_pad,), jnp.float32),
-                   jax.ShapeDtypeStruct((n_pad,), jnp.float32)],
+                   jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)],
         interpret=_interpret(),
-    )(x2, scale, bias)
+    )(x2, scale.reshape(1, d), bias.reshape(1, d))
     return y[:n].reshape(orig_shape), mean[:n], rstd[:n]
 
 
@@ -165,28 +180,28 @@ def _ln_vjp_bwd(eps, res, dy):
     block = _block_rows(n, d)
     x2, n_pad = _pad_rows(x2, block)
     dy2, _ = _pad_rows(dy2, block)
-    mean_p = jnp.pad(mean, (0, n_pad - n))
-    rstd_p = jnp.pad(rstd, (0, n_pad - n))
+    mean_p = jnp.pad(mean, ((0, n_pad - n), (0, 0)))
+    rstd_p = jnp.pad(rstd, ((0, n_pad - n), (0, 0)))
     grid = n_pad // block
     dx, dscale_p, dbias_p = pl.pallas_call(
         _ln_bwd_kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec((block, d), lambda i: (i, 0)),
-                  pl.BlockSpec((d,), lambda i: (0,)),
-                  pl.BlockSpec((block,), lambda i: (i,)),
-                  pl.BlockSpec((block,), lambda i: (i,)),
+                  pl.BlockSpec((1, d), lambda i: (0, 0)),
+                  pl.BlockSpec((block, 1), lambda i: (i, 0)),
+                  pl.BlockSpec((block, 1), lambda i: (i, 0)),
                   pl.BlockSpec((block, d), lambda i: (i, 0))],
         out_specs=[pl.BlockSpec((block, d), lambda i: (i, 0)),
-                   pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)),
-                   pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0))],
+                   pl.BlockSpec((1, d), lambda i: (0, 0)),
+                   pl.BlockSpec((1, d), lambda i: (0, 0))],
         out_shape=[jax.ShapeDtypeStruct((n_pad, d), x.dtype),
-                   jax.ShapeDtypeStruct((grid, 1, d), jnp.float32),
-                   jax.ShapeDtypeStruct((grid, 1, d), jnp.float32)],
+                   jax.ShapeDtypeStruct((1, d), jnp.float32),
+                   jax.ShapeDtypeStruct((1, d), jnp.float32)],
         interpret=_interpret(),
-    )(x2, scale, mean_p, rstd_p, dy2)
+    )(x2, scale.reshape(1, d), mean_p, rstd_p, dy2)
     dx = dx[:n].reshape(orig_shape)
-    dscale = dscale_p.sum(axis=(0, 1)).astype(scale.dtype)
-    dbias = dbias_p.sum(axis=(0, 1)).astype(scale.dtype)
+    dscale = dscale_p[0].astype(scale.dtype)
+    dbias = dbias_p[0].astype(scale.dtype)
     return dx, dscale, dbias
 
 
@@ -211,13 +226,13 @@ def _rms_fwd(x, scale, eps):
         functools.partial(_rms_fwd_kernel, eps=eps),
         grid=(grid,),
         in_specs=[pl.BlockSpec((block, d), lambda i: (i, 0)),
-                  pl.BlockSpec((d,), lambda i: (0,))],
+                  pl.BlockSpec((1, d), lambda i: (0, 0))],
         out_specs=[pl.BlockSpec((block, d), lambda i: (i, 0)),
-                   pl.BlockSpec((block,), lambda i: (i,))],
+                   pl.BlockSpec((block, 1), lambda i: (i, 0))],
         out_shape=[jax.ShapeDtypeStruct((n_pad, d), x.dtype),
-                   jax.ShapeDtypeStruct((n_pad,), jnp.float32)],
+                   jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)],
         interpret=_interpret(),
-    )(x2, scale)
+    )(x2, scale.reshape(1, d))
     return y[:n].reshape(orig_shape), rstd[:n]
 
 
@@ -236,23 +251,23 @@ def _rms_vjp_bwd(eps, res, dy):
     block = _block_rows(n, d)
     x2, n_pad = _pad_rows(x2, block)
     dy2, _ = _pad_rows(dy2, block)
-    rstd_p = jnp.pad(rstd, (0, n_pad - n))
+    rstd_p = jnp.pad(rstd, ((0, n_pad - n), (0, 0)))
     grid = n_pad // block
     dx, dscale_p = pl.pallas_call(
         _rms_bwd_kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec((block, d), lambda i: (i, 0)),
-                  pl.BlockSpec((d,), lambda i: (0,)),
-                  pl.BlockSpec((block,), lambda i: (i,)),
+                  pl.BlockSpec((1, d), lambda i: (0, 0)),
+                  pl.BlockSpec((block, 1), lambda i: (i, 0)),
                   pl.BlockSpec((block, d), lambda i: (i, 0))],
         out_specs=[pl.BlockSpec((block, d), lambda i: (i, 0)),
-                   pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0))],
+                   pl.BlockSpec((1, d), lambda i: (0, 0))],
         out_shape=[jax.ShapeDtypeStruct((n_pad, d), x.dtype),
-                   jax.ShapeDtypeStruct((grid, 1, d), jnp.float32)],
+                   jax.ShapeDtypeStruct((1, d), jnp.float32)],
         interpret=_interpret(),
-    )(x2, scale, rstd_p, dy2)
+    )(x2, scale.reshape(1, d), rstd_p, dy2)
     dx = dx[:n].reshape(orig_shape)
-    dscale = dscale_p.sum(axis=(0, 1)).astype(scale.dtype)
+    dscale = dscale_p[0].astype(scale.dtype)
     return dx, dscale
 
 
