@@ -126,21 +126,35 @@ def latency_bench():
         spec_fn = jax.jit(lambda p, d, t: speculative.generate_and_drive_spec(
             p, d, cfg, gen_cfg, t, spec_k=spec_k,
             compute_dtype=jnp.bfloat16, return_stats=True))
-        out, st = spec_fn(params, di, dt)
-        float(jax.device_get(out.route.sum()))
-        rounds = int(jax.device_get(st["rounds"]))
-        gl = int(jax.device_get(st["gen_len"]))
-        lats = []
-        for _ in range(8):
-            t0 = time.perf_counter()
-            out, st = spec_fn(params, di, dt)
-            float(jax.device_get(out.route.sum()))
-            lats.append(time.perf_counter() - t0)
-        spec_p50 = float(np.percentile(lats, 50) * 1e3)
+        spec95_fn = jax.jit(
+            lambda p, d, t: speculative.generate_and_drive_spec(
+                p, d, cfg, gen_cfg95, t, spec_k=spec_k,
+                compute_dtype=jnp.bfloat16, return_stats=True))
+
+        def timed_spec(fn, n):
+            out, st = fn(params, di, dt)
+            float(jax.device_get(out.route.sum()))       # compile + sync
+            rounds = int(jax.device_get(st["rounds"]))
+            gl = int(jax.device_get(st["gen_len"]))
+            lats = []
+            for _ in range(n):
+                t0 = time.perf_counter()
+                out, st = fn(params, di, dt)
+                float(jax.device_get(out.route.sum()))
+                lats.append(time.perf_counter() - t0)
+            return float(np.percentile(lats, 50) * 1e3), rounds, gl
+
+        spec_p50, rounds, gl = timed_spec(spec_fn, 8)
+        # p95 token budget (124 tokens) through the same speculative path:
+        # the VERDICT-r2 concern was fixed-budget flattery -- report the
+        # tail budget too
+        spec_p95, rounds95, gl95 = timed_spec(spec95_fn, 6)
         spec_stats = {
             "spec_cot_p50_ms": round(max(spec_p50 - rtt, 0.0), 2),
+            "spec_cot_p95_ms": round(max(spec_p95 - rtt, 0.0), 2),
             "spec_rounds": rounds,
             "spec_tokens_per_fwd": round(gl / max(rounds + 1, 1), 2),
+            "spec_p95_tokens_per_fwd": round(gl95 / max(rounds95 + 1, 1), 2),
             "spec_k": spec_k,
         }
     print(json.dumps({
@@ -188,6 +202,11 @@ def main():
         cfg = dataclasses.replace(cfg, remat_llm=False)
     elif remat == "llm":
         cfg = dataclasses.replace(cfg, remat_vision=False)
+    elif remat == "mlp":
+        # surgical: recompute only the ViT MLP GELU in the backward
+        # (models/vit.py encode remat="mlp") -- frees half the dominant
+        # activation term at ~zero recompute, to unlock larger batches
+        cfg = dataclasses.replace(cfg, remat_vision="mlp", remat_llm=False)
     params = simlingo.init_params(jax.random.PRNGKey(0), cfg)
     if os.environ.get("BENCH_INT8_BASE", "0") == "1":
         # w8a16 frozen LLM base in the TRAINING forward (VERDICT r2 lever):

@@ -130,9 +130,18 @@ def gelu_mlp_init(key, dim: int, hidden: int, dtype=jnp.float32) -> Params:
 
 def gelu_mlp(p: Params, x: jnp.ndarray, approximate: bool = False) -> jnp.ndarray:
     """fc1 -> GELU -> fc2. approximate=False matches HF 'gelu' (erf-based);
-    True uses the tanh form (see ViTConfig.gelu_approximate)."""
+    True uses the tanh form (see ViTConfig.gelu_approximate).
+
+    The GELU output is checkpoint-named: under autodiff BOTH [*, hidden]
+    intermediates (pre-GELU for the gelu VJP, post-GELU for d fc2.w) are
+    residuals -- the MLP dominates activation memory. The "mlp" remat mode
+    (vit.encode) recomputes just the tagged value from the saved pre-GELU
+    hidden: one elementwise op in the backward frees half the MLP
+    residual bytes."""
+    from jax import ad_checkpoint
     h = linear(p["fc1"], x)
     h = jax.nn.gelu(h, approximate=approximate)
+    h = ad_checkpoint.checkpoint_name(h, "mlp_gelu_out")
     return linear(p["fc2"], h)
 
 

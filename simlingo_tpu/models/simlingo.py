@@ -40,7 +40,9 @@ class SimLingoConfig:
     predict_route_as_wps: bool = True
     adaptor_mlp_dim: int = 256
     freeze_vision: bool = False          # reference trains mlp1, freezes ViT optionally
-    remat_vision: bool = True
+    # False | True (full-layer, keep attention out) | "mlp" (recompute only
+    # the MLP GELU -- vit.encode docstring)
+    remat_vision: Any = True
     remat_llm: bool = True
     # CE computed on gathered (contiguous) answer positions; 0 => full-seq CE
     max_answer_len: int = 160

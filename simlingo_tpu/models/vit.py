@@ -175,7 +175,7 @@ def _vit_layer(p, x, cfg: ViTConfig):
 
 
 def encode(params, images: jnp.ndarray, cfg: ViTConfig,
-           remat: bool = False) -> jnp.ndarray:
+           remat=False) -> jnp.ndarray:
     """[B, H, W, 3] normalized images -> [B, T+1, hidden] ViT features."""
     # Match the compute dtype of the (policy-cast) weights: fp32 pixel
     # values would otherwise promote the whole tower to emulated-fp32
@@ -187,13 +187,28 @@ def encode(params, images: jnp.ndarray, cfg: ViTConfig,
                            (B, 1, cfg.hidden_size))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(x.dtype)
-    # remat recomputes each layer in the backward EXCEPT the attention
+    # remat=True recomputes each layer in the backward EXCEPT the attention
     # kernel's output (tagged above): re-running flash attention costs more
     # than storing its [B, T, H] result.
-    policy = jax.checkpoint_policies.save_only_these_names("vit_attn_out")
+    # remat="mlp" is the surgical variant: save everything EXCEPT the GELU
+    # output (tagged in layers.gelu_mlp) -- the backward recomputes one
+    # elementwise GELU per layer from the saved pre-GELU hidden, freeing
+    # half the MLP residual bytes (the dominant activation term) at ~zero
+    # recompute FLOPs. Unlocks larger per-chip batches without paying the
+    # full-tower recompute that remat=True costs (docs/BENCH_NOTES.md).
+    if remat == "mlp":
+        fn = jax.checkpoint(
+            _vit_layer, static_argnums=(2,),
+            policy=jax.checkpoint_policies.save_anything_except_these_names(
+                "mlp_gelu_out"))
+    elif remat:
+        fn = jax.checkpoint(
+            _vit_layer, static_argnums=(2,),
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "vit_attn_out"))
+    else:
+        fn = _vit_layer
     for i in range(cfg.num_layers):
-        fn = jax.checkpoint(_vit_layer, static_argnums=(2,),
-                            policy=policy) if remat else _vit_layer
         x = fn(params["layers"][str(i)], x, cfg)
     return x
 
@@ -212,7 +227,7 @@ def pixel_shuffle(x: jnp.ndarray, scale: float) -> jnp.ndarray:
 
 
 def extract_features(params, images: jnp.ndarray, cfg: ViTConfig,
-                     remat: bool = False) -> jnp.ndarray:
+                     remat=False) -> jnp.ndarray:
     """Full reference `extract_feature` path: ViT -> drop CLS -> pixel shuffle
     -> mlp1 projector. [B, H, W, 3] -> [B, tokens_per_patch_image, llm_hidden].
     """

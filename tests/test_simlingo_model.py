@@ -129,3 +129,34 @@ def test_speed_wps_1d_mode():
     out, preds = simlingo.forward_loss(params, ex, cfg)
     assert preds["speed_wps"].shape == (2, 10, 1)
     assert np.isfinite(float(out.loss))
+
+
+def test_remat_modes_grad_identical():
+    """remat=False / True / "mlp" are pure memory-schedule choices: the
+    loss and every gradient must be bit-comparable (same ops, same order
+    inside each layer; only WHEN values are (re)computed differs)."""
+    import dataclasses
+
+    grads = {}
+    for mode in (False, True, "mlp"):
+        cfg, params, ex = _setup()
+        cfg = dataclasses.replace(cfg, remat_vision=mode)
+
+        def loss_fn(p):
+            out, _ = simlingo.forward_loss(p, ex, cfg)
+            return out.loss
+
+        l, g = jax.value_and_grad(loss_fn)(params)
+        grads[mode] = (float(l), g)
+
+    l0, g0 = grads[False]
+    for mode in (True, "mlp"):
+        l1, g1 = grads[mode]
+        assert abs(l0 - l1) < 1e-6
+        for (kp, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(g0),
+                jax.tree_util.tree_leaves_with_path(g1)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-5, atol=1e-6,
+                err_msg=f"remat={mode} grad mismatch at {kp}")
