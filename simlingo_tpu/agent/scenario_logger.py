@@ -367,3 +367,48 @@ def render_replay(record_path: str, out_path: str,
     fig.savefig(out_path, dpi=100, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+def main(argv=None) -> None:
+    """CLI (<- reference tools/infraction_gifs.py):
+
+        python -m simlingo_tpu.agent.scenario_logger gifs <result_json> \
+            --records <dir of records.json.gz> --out <gif dir>
+        python -m simlingo_tpu.agent.scenario_logger replay <record.json.gz> \
+            --out replay.png [--frames-dir DIR]
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("cmd", choices=["gifs", "replay"])
+    ap.add_argument("path", help="result json (gifs) or record (replay)")
+    ap.add_argument("--records", default=None,
+                    help="gifs: directory holding the ScenarioLogger "
+                         "records to render frames from")
+    ap.add_argument("--frames-dir", default=None,
+                    help="pre-rendered frames dir (skips replay rendering)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--window", type=int, default=50)
+    args = ap.parse_args(argv)
+
+    if args.cmd == "replay":
+        print(render_replay(args.path, args.out))
+        return
+    frames_dir = args.frames_dir
+    if frames_dir is None:
+        import glob as _glob
+        frames_dir = os.path.join(args.out, "_frames")
+        recs = sorted(_glob.glob(os.path.join(args.records or ".",
+                                              "**", "records*.json.gz"),
+                                 recursive=True))
+        for rec in recs:
+            render_replay_frames(rec, frames_dir)
+    gifs = make_infraction_gifs(args.path, frames_dir, args.out,
+                                window=args.window)
+    for g in gifs:
+        print(g)
+    print(f"{len(gifs)} infraction gifs -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

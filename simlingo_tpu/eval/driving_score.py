@@ -328,3 +328,46 @@ def write_result_csv(parsed: Dict, out_csv: str) -> str:
                 w.writerow(row)
             w.writerow([""])
     return out_csv
+
+
+def main(argv: Optional[Sequence[str]] = None) -> Dict[str, float]:
+    """CLI counterpart of the reference's two results scripts in one:
+
+        python -m simlingo_tpu.eval.driving_score <results_dir_or_files...>
+            [--csv out.csv] [--parsed-csv parsed.csv]
+
+    Prints the merged benchmark metrics (merge_route_json.py: mean DS /
+    success rate over all routes) and optionally writes the per-route CSV
+    (result_parser.py: normalized infractions/km)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("paths", nargs="+",
+                    help="result json/json.gz files or directories of them")
+    ap.add_argument("--csv", default=None,
+                    help="write the per-route CSV report here")
+    ap.add_argument("--parsed-csv", default=None,
+                    help="write the aggregated totals/per-town CSV here")
+    args = ap.parse_args(argv)
+
+    files: List[str] = []
+    for p in args.paths:
+        if os.path.isdir(p):
+            files += sorted(glob.glob(os.path.join(p, "**", "*.json*"),
+                                      recursive=True))
+        else:
+            files.append(p)
+    files = [f for f in files if f.endswith((".json", ".json.gz"))]
+    merged = merge_route_results(files)
+    print(json.dumps(merged, indent=2, sort_keys=True))
+    if args.csv:
+        results_to_csv(files, args.csv)
+        print(f"per-route CSV -> {args.csv}")
+    if args.parsed_csv:
+        write_result_csv(parse_results(files), args.parsed_csv)
+        print(f"aggregated CSV -> {args.parsed_csv}")
+    return merged
+
+
+if __name__ == "__main__":
+    main()

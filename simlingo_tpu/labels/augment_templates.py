@@ -97,3 +97,33 @@ def write_augmented_commentary(all_templates: Sequence[str], out_dir: str,
     with open(path, "w") as f:
         json.dump(augment_templates(all_templates, n, use_gpt), f, indent=2)
     return path
+
+
+def main(argv=None) -> None:
+    """CLI (<- reference get_augmentations/gpt_augment_vqa.py +
+    commentary_merge_augmented.py):
+
+        python -m simlingo_tpu.labels.augment_templates <templates.json> \
+            --out data/augmented_templates [--n 4] [--no-gpt]
+
+    <templates.json> is a JSON list of template strings (the commentary /
+    VQA generators write `all_templates`); emits the augmented-template
+    json the datasets load at training time."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("templates_json")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n", type=int, default=4)
+    ap.add_argument("--no-gpt", action="store_true",
+                    help="rule-based paraphrases only (no API calls)")
+    args = ap.parse_args(argv)
+    with open(args.templates_json) as f:
+        templates = json.load(f)
+    path = write_augmented_commentary(templates, args.out, n=args.n,
+                                      use_gpt=not args.no_gpt)
+    print(path)
+
+
+if __name__ == "__main__":
+    main()

@@ -116,3 +116,26 @@ def generate_buckets(data_root: str, out_dir: str,
     with open(os.path.join(out_dir, "buckets_stats.json"), "w") as f:
         json.dump(stats, f, indent=2)
     return stats
+
+
+def main(argv=None) -> None:
+    """CLI (<- reference data_buckets/carla_get_buckets.py):
+
+        python -m simlingo_tpu.labels.buckets <data_root> [--out DIR]
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("data_root")
+    ap.add_argument("--out", default=None,
+                    help="output dir (default <data_root>/bucketsv2_simlingo)")
+    args = ap.parse_args(argv)
+    out = args.out or os.path.join(args.data_root, "bucketsv2_simlingo")
+    stats = generate_buckets(args.data_root, out)
+    for k in sorted(stats):
+        print(f"{k:<44s} {stats[k]:>7d}")
+    print(f"-> {out}")
+
+
+if __name__ == "__main__":
+    main()

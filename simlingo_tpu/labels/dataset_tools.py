@@ -157,3 +157,67 @@ def upsample_plan(counts: Dict[str, int],
         return {}
     target = target or max(counts.values())
     return {k: max(target - v, 0) for k, v in counts.items()}
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    """One CLI for the reference's standalone hygiene scripts:
+
+        python -m simlingo_tpu.labels.dataset_tools <cmd> <data_root>
+
+    cmd: failed (<- delete_failed_runs.py; --delete / --rename / --undo),
+    defects (<- delete_defect_jsons.py; --delete), duplicates
+    (<- filter_duplicate_routes.py), balance (<- balance_scenarios.py
+    report + upsample plan), frames (<- count_json_gz_files.py).
+    Default is always a dry-run report; destructive actions need flags."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("cmd", choices=["failed", "defects", "duplicates",
+                                    "balance", "frames"])
+    ap.add_argument("data_root")
+    ap.add_argument("--delete", action="store_true",
+                    help="actually delete (failed / defects)")
+    ap.add_argument("--rename", action="store_true",
+                    help="quarantine-rename failed routes to FAILED_*")
+    ap.add_argument("--undo", action="store_true",
+                    help="undo a previous quarantine rename")
+    args = ap.parse_args(argv)
+
+    if args.cmd == "failed":
+        if args.rename or args.undo:
+            moved = rename_failed_runs(args.data_root, undo=args.undo,
+                                       dry_run=False)
+            for r in moved:
+                print(r)
+            print(f"{len(moved)} routes "
+                  f"{'restored' if args.undo else 'quarantined'}")
+        else:
+            routes = delete_failed_runs(args.data_root,
+                                        dry_run=not args.delete)
+            for r in routes:
+                print(r)
+            print(f"{len(routes)} failed routes"
+                  + ("" if args.delete else " (dry run; --delete to remove)"))
+    elif args.cmd == "defects":
+        files = delete_defect_jsons(args.data_root, dry_run=not args.delete)
+        for f in files:
+            print(f)
+        print(f"{len(files)} defective files"
+              + ("" if args.delete else " (dry run; --delete to remove)"))
+    elif args.cmd == "duplicates":
+        dups = find_duplicate_routes(args.data_root)
+        for h, routes in sorted(dups.items()):
+            print(h, *routes)
+        print(f"{len(dups)} duplicate groups")
+    elif args.cmd == "balance":
+        counts = scenario_balance_report(args.data_root)
+        plan = upsample_plan(counts)
+        for k in sorted(counts):
+            print(f"{k:<40s} {counts[k]:>6d}  (+{plan[k]} to balance)")
+    elif args.cmd == "frames":
+        for k, v in sorted(count_frames(args.data_root).items()):
+            print(f"{k:<60s} {v:>7d}")
+
+
+if __name__ == "__main__":
+    main()
