@@ -3,7 +3,8 @@ decode shape (one LLM MLP up-proj row, M=1). Usage:
   timeout 300 python scripts/mb_int4.py bf16 int8 grouped evenodd dense
 Each variant prints ms/iter with readback sync (see docs/BENCH_NOTES.md
 for the block_until_ready caveat on this backend)."""
-import jax, jax.numpy as jnp, numpy as np, time, sys
+import jax, jax.numpy as jnp, numpy as np, time, sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from jax import lax
 K, N, G = 4864, 896, 38
 k = K // G

@@ -18,6 +18,7 @@ stream itself differs, which dropout semantics do not care about).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -29,9 +30,10 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(seed_ref, x_ref, o_ref, *, threshold: int, inv_keep: float):
-    # independent stream per grid block: fold the block index into the seed
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+def _kernel(seed_ref, x_ref, o_ref, *, threshold: int, inv_keep: float,
+            n_grid: int):
+    # independent stream per grid block: fold every grid index into the seed
+    pltpu.prng_seed(seed_ref[0], *(pl.program_id(d) for d in range(n_grid)))
     bits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.uint32)
     keep = bits >= jnp.uint32(threshold)
     o_ref[...] = jnp.where(
@@ -47,24 +49,61 @@ def _apply(x, seed, rate: float, block_rows: int = 512):
         keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
         return jnp.where(keep, x * jnp.asarray(1.0 / (1.0 - rate), x.dtype),
                          jnp.zeros((), x.dtype))
+    # keep iff bits >= threshold: P(drop) = threshold / 2^32
+    threshold = min(int(round(rate * 2.0 ** 32)), 2 ** 32 - 1)
+    if os.environ.get("SIMLINGO_DROPOUT_V2", "0") == "1":
+        # Native-rank path: operate on the array as-is with a cdiv grid
+        # (Mosaic pads boundary reads and masks boundary writes). The
+        # flatten-to-2D form below forces XLA to relayout
+        # [B, T, C] -> [B*T, C] around every call (rank-3 tiling pads each
+        # batch element's rows to 8, rank-2 packs them), which the round-4
+        # trace measured at ~25 ms/step of pure reshape/pad/slice across
+        # the ~170 dropout sites (docs/BENCH_NOTES.md).
+        orig_shape = x.shape
+        if x.ndim < 2:
+            x = x.reshape(1, -1)
+        C = x.shape[-1]
+        T = x.shape[-2]
+        lead = x.shape[:-2]
+        # 16 MB scoped-VMEM stack: block holds x (2B), out (2B) and the
+        # uint32 random bits (4B) per element
+        block_rows = min(block_rows, -(-T // 8) * 8,
+                         max(8, ((6 * 1024 * 1024) // (8 * C)) // 8 * 8))
+        grid = tuple(lead) + (pl.cdiv(T, block_rows),)
+        blk = (1,) * len(lead) + (block_rows, C)
+
+        def index_map(*ids):
+            return (*ids[:-1], ids[-1], 0)
+
+        out = pl.pallas_call(
+            functools.partial(_kernel, threshold=threshold,
+                              inv_keep=1.0 / (1.0 - rate), n_grid=len(grid)),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(blk, index_map),
+            ],
+            out_specs=pl.BlockSpec(blk, index_map),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            interpret=_interpret(),
+        )(seed, x)
+        return out.reshape(orig_shape)
+
+    # legacy flatten-to-2D path (SIMLINGO_DROPOUT_V2=0 escape hatch)
     orig_shape = x.shape
     C = orig_shape[-1]
     N = 1
     for d in orig_shape[:-1]:
         N *= d
     x2 = x.reshape(N, C)
-    # stay within the 16 MB scoped-VMEM stack: the block holds x (2B), out
-    # (2B) and the uint32 random bits (4B) per element
     block_rows = min(block_rows,
                      max(8, ((6 * 1024 * 1024) // (8 * C)) // 8 * 8))
     Np = -(-N // block_rows) * block_rows
     if Np != N:
         x2 = jnp.pad(x2, ((0, Np - N), (0, 0)))
-    # keep iff bits >= threshold: P(drop) = threshold / 2^32
-    threshold = min(int(round(rate * 2.0 ** 32)), 2 ** 32 - 1)
     out = pl.pallas_call(
         functools.partial(_kernel, threshold=threshold,
-                          inv_keep=1.0 / (1.0 - rate)),
+                          inv_keep=1.0 / (1.0 - rate), n_grid=1),
         grid=(Np // block_rows,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
