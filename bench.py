@@ -22,6 +22,13 @@ import time
 
 BASELINE_SAMPLES_PER_SEC = 10.0
 
+# MFU accounting (docs/BENCH_NOTES.md "MFU analysis"): fwd+bwd matmul FLOPs
+# at the production shapes total ~5.63 TF/sample; denominators are the v5e
+# nominal bf16 peak and this chip's measured dense-matmul peak.
+TFLOP_PER_SAMPLE = 5.63
+PEAK_TFLOPS_NOMINAL = 197.0
+PEAK_TFLOPS_MEASURED = 183.5
+
 
 def latency_bench():
     """p50 per-frame action latency (closed-loop agent path), batch 1.
@@ -122,7 +129,7 @@ def latency_bench():
         prev = jax.device_get(gen(params, di).language_tokens)[0].tolist()
         tables = speculative.build_draft_tables([prev], cfg.llm.vocab_size)
         dt = jax.device_put({k: jnp.asarray(v) for k, v in tables.items()})
-        spec_k = int(os.environ.get("BENCH_SPEC_K", "8"))
+        spec_k = int(os.environ.get("BENCH_SPEC_K", "16"))
         spec_fn = jax.jit(lambda p, d, t: speculative.generate_and_drive_spec(
             p, d, cfg, gen_cfg, t, spec_k=spec_k,
             compute_dtype=jnp.bfloat16, return_stats=True))
@@ -311,12 +318,18 @@ def main():
         # contending with any measurement that follows in-process
         prefetch.close()
     sps = batch / dt
+    tf_s = sps * TFLOP_PER_SAMPLE
     print(json.dumps({
         "metric": "train_samples_per_sec_per_chip",
         "value": round(sps, 3),
         "unit": "samples/s",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 3),
         "data": data_mode,
+        # MFU is the primary, assumption-free number (vs_baseline divides
+        # by a documented ESTIMATE of the reference's A100 throughput)
+        "sustained_tflops": round(tf_s, 1),
+        "mfu_nominal_peak": round(tf_s / PEAK_TFLOPS_NOMINAL, 3),
+        "mfu_measured_peak": round(tf_s / PEAK_TFLOPS_MEASURED, 3),
     }))
 
 

@@ -27,7 +27,10 @@ class AgentConfig:
     # output tokens are bit-identical to plain greedy, only faster. The
     # first CoT frame decodes plain-greedy (no draft corpus yet).
     speculative_cot: bool = True
-    spec_k: int = 8                      # chunk size per speculation round
+    # chunk size per speculation round: measured on-chip 2026-08-19,
+    # k=16 accepts 12.8 tokens/fwd -> CoT p50 28.7 ms (k=8: 7.0 -> 40.9 ms;
+    # the verify forward is HBM-bound so a wider chunk is near-free)
+    spec_k: int = 16
     spec_corpus_frames: int = 8          # rolling draft-corpus window
     # compile every per-frame program at setup (before the route starts)
     # so no simulator tick pays a jit compile
