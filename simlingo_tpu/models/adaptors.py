@@ -19,6 +19,7 @@ fixed [text | route queries | speed queries] layout (see core/structs.py).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -194,7 +195,8 @@ def gather_answer_states(hidden: jnp.ndarray, ids: jnp.ndarray,
 
 def language_loss_gathered(hidden_g: jnp.ndarray, labels: jnp.ndarray,
                            valid: jnp.ndarray, logits_fn,
-                           chunk: int = 32
+                           chunk: int = 32,
+                           head_w: Optional[jnp.ndarray] = None
                            ) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
     """CE over gathered answer positions (same semantics as language_loss).
 
@@ -204,8 +206,22 @@ def language_loss_gathered(hidden_g: jnp.ndarray, labels: jnp.ndarray,
     a time, and the checkpointed body recomputes it in the backward -- the
     lm-head matmul is ~2% of step FLOPs, so the recompute is noise while
     the memory drops by A/chunk (x5 at the production answer length 160).
+
+    head_w ([V, H] tied-embedding LM head, frozen): when given and
+    SIMLINGO_CE_IMPL=pallas, routes through kernels/fused_ce.py -- the
+    vocab streams through VMEM with an online logsumexp, so even the
+    [B, chunk, V] slabs never touch HBM and the weight is read exactly
+    once per pass (the scan path reads/writes each fp32 slab thrice).
     """
     B, A, H = hidden_g.shape
+    if (head_w is not None
+            and os.environ.get("SIMLINGO_CE_IMPL", "xla") == "pallas"):
+        from simlingo_tpu.kernels.fused_ce import fused_ce
+        ce = fused_ce(hidden_g.reshape(B * A, H),
+                      labels.reshape(B * A),
+                      head_w.astype(hidden_g.dtype))
+        ce = ce.reshape(B, A)
+        return {"language_loss": (jnp.where(valid, ce, 0.0), valid)}
     if chunk <= 0 or A <= chunk or A % chunk != 0:
         logits = logits_fn(hidden_g).astype(jnp.float32)          # [B, A, V]
         logz = jax.nn.logsumexp(logits, axis=-1)

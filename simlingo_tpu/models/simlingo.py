@@ -188,9 +188,15 @@ def forward_loss(params: Dict[str, Any], example: DrivingExample,
     if cfg.max_answer_len > 0:
         hg, labels_g, valid_g = A.gather_answer_states(
             text_h, label.ids, label.loss_mask, cfg.max_answer_len)
+        # tied-embedding LM head weight ([V, H], frozen) enables the fused
+        # Pallas CE (SIMLINGO_CE_IMPL=pallas); quantized tables fall back
+        emb = params["llm"]["embed"]
+        head_w = None if ("lm_head" in params["llm"] or "w_q" in emb) \
+            else emb["w"]
         losses = A.language_loss_gathered(
             hg, labels_g, valid_g,
-            lambda h: qwen2.logits_from_hidden(params["llm"], h, cfg.llm))
+            lambda h: qwen2.logits_from_hidden(params["llm"], h, cfg.llm),
+            head_w=head_w)
     else:
         logits = qwen2.logits_from_hidden(params["llm"], text_h, cfg.llm)
         losses = A.language_loss(logits, label.ids, label.loss_mask)

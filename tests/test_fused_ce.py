@@ -1,0 +1,95 @@
+"""Fused Pallas CE (kernels/fused_ce.py) parity vs the XLA reference.
+
+Runs in interpret mode on CPU; shapes use a non-block-multiple vocab to
+exercise the boundary-tile masking and a tied [V, H] head like
+production (qwen2 embed table)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simlingo_tpu.kernels.fused_ce import fused_ce
+from simlingo_tpu.models import adaptors as A
+
+N, H, V = 24, 64, 1111   # V deliberately not a multiple of the tile
+
+
+def _ref_ce(h2, labels, w):
+    logits = (h2 @ w.astype(h2.dtype).T).astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
+    return logz - gold
+
+
+@pytest.fixture()
+def data():
+    key = jax.random.PRNGKey(0)
+    h2 = jax.random.normal(key, (N, H), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (V, H), jnp.float32)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (N,), 0, V)
+    return h2, labels, w
+
+
+def test_forward_parity(data):
+    h2, labels, w = data
+    ce = jax.jit(fused_ce)(h2, labels, w)
+    np.testing.assert_allclose(np.asarray(ce), np.asarray(_ref_ce(h2, labels, w)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_grad_parity(data):
+    h2, labels, w = data
+    gmask = jnp.linspace(0.2, 1.7, N)   # non-uniform cotangent
+
+    def loss_fused(h):
+        return (fused_ce(h, labels, w) * gmask).sum()
+
+    def loss_ref(h):
+        return (_ref_ce(h, labels, w) * gmask).sum()
+
+    g_f = jax.jit(jax.grad(loss_fused))(h2)
+    g_r = jax.jit(jax.grad(loss_ref))(h2)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_no_head_grad(data):
+    """The head is the frozen tied embedding: its cotangent is exactly 0."""
+    h2, labels, w = data
+    gw = jax.jit(jax.grad(lambda ww: fused_ce(h2, labels, ww).sum()))(w)
+    assert float(jnp.abs(gw).max()) == 0.0
+
+
+def test_language_loss_gathered_routes_to_fused(data, monkeypatch):
+    monkeypatch.setenv("SIMLINGO_CE_IMPL", "pallas")
+    B, Aq = 4, 6
+    h2, labels, w = data
+    hg = h2.reshape(B, Aq, H)
+    lab = labels.reshape(B, Aq)
+    valid = jnp.arange(Aq)[None, :] < jnp.array([[6], [3], [0], [5]])[:, 0][:, None]
+    out = A.language_loss_gathered(
+        hg, lab, valid, lambda h: h @ w.astype(h.dtype).T, head_w=w)
+    ce, v = out["language_loss"]
+    ref = _ref_ce(h2, labels, w).reshape(B, Aq)
+    np.testing.assert_allclose(np.asarray(ce),
+                               np.asarray(jnp.where(valid, ref, 0.0)),
+                               rtol=2e-5, atol=2e-5)
+    assert np.array_equal(np.asarray(v), np.asarray(valid))
+
+
+def test_scan_path_unchanged(data):
+    os.environ.pop("SIMLINGO_CE_IMPL", None)
+    B, Aq = 4, 6
+    h2, labels, w = data
+    hg = h2.reshape(B, Aq, H)
+    lab = labels.reshape(B, Aq)
+    valid = jnp.ones((B, Aq), bool)
+    out = A.language_loss_gathered(
+        hg, lab, valid, lambda h: h @ w.astype(h.dtype).T, chunk=3,
+        head_w=w)
+    ce, _ = out["language_loss"]
+    np.testing.assert_allclose(np.asarray(ce),
+                               np.asarray(_ref_ce(h2, labels, w)).reshape(B, Aq),
+                               rtol=2e-5, atol=2e-5)
