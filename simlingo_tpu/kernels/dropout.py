@@ -31,9 +31,14 @@ def _interpret() -> bool:
 
 
 def _kernel(seed_ref, x_ref, o_ref, *, threshold: int, inv_keep: float,
-            n_grid: int):
-    # independent stream per grid block: fold every grid index into the seed
-    pltpu.prng_seed(seed_ref[0], *(pl.program_id(d) for d in range(n_grid)))
+            grid_dims: tuple):
+    # independent stream per grid block: fold every grid index into ONE
+    # flat block id (Mosaic's tpu.prng_set_seed_32 takes at most two
+    # values, so a per-dim spread fails to compile on real hardware)
+    flat = jnp.int32(0)
+    for d, n in enumerate(grid_dims):
+        flat = flat * jnp.int32(n) + pl.program_id(d)
+    pltpu.prng_seed(seed_ref[0], flat)
     bits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.uint32)
     keep = bits >= jnp.uint32(threshold)
     o_ref[...] = jnp.where(
@@ -77,7 +82,7 @@ def _apply(x, seed, rate: float, block_rows: int = 512):
 
         out = pl.pallas_call(
             functools.partial(_kernel, threshold=threshold,
-                              inv_keep=1.0 / (1.0 - rate), n_grid=len(grid)),
+                              inv_keep=1.0 / (1.0 - rate), grid_dims=grid),
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -103,7 +108,8 @@ def _apply(x, seed, rate: float, block_rows: int = 512):
         x2 = jnp.pad(x2, ((0, Np - N), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_kernel, threshold=threshold,
-                          inv_keep=1.0 / (1.0 - rate), n_grid=1),
+                          inv_keep=1.0 / (1.0 - rate),
+                          grid_dims=(Np // block_rows,)),
         grid=(Np // block_rows,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
