@@ -121,8 +121,8 @@ def latency_bench():
     # (consecutive frames yield near-identical templated text, so this is
     # the production acceptance regime; exactness is verified in
     # tests/test_speculative.py -- the output tokens are bit-identical to
-    # plain greedy, only the forward count changes). Reported alongside,
-    # not replacing, the plain-greedy cot numbers.
+    # plain greedy, only the forward count changes). The headline cot_p50/
+    # p95 reflect this production path; nonspec_* keep the plain numbers.
     spec_stats = {}
     if os.environ.get("BENCH_SPEC", "1") == "1":
         from simlingo_tpu.infer import speculative
@@ -164,15 +164,26 @@ def latency_bench():
             "spec_p95_tokens_per_fwd": round(gl95 / max(rounds95 + 1, 1), 2),
             "spec_k": spec_k,
         }
+    # Headline cot_p50/p95: the PRODUCTION decode path. Speculative decode
+    # is the agent default (agent/config.py spec_k) and its output is
+    # bit-identical to plain greedy (tests/test_speculative.py), so when it
+    # was measured the headline reflects it; the plain-greedy numbers stay
+    # as nonspec_* for comparison.
+    cot_p50 = spec_stats.get("spec_cot_p50_ms",
+                             round(max(p50_cot - rtt, 0.0), 2))
+    cot_p95 = spec_stats.get("spec_cot_p95_ms",
+                             round(max(p50_cot95 - rtt, 0.0), 2))
     print(json.dumps({
         "metric": "p50_action_latency_ms",
         "value": round(max(p50_action - rtt, 0.0), 2),
         "unit": "ms",
         "vs_baseline": round(50.0 / max(p50_action - rtt, 1e-9), 3),
-        "cot_p50_ms": round(max(p50_cot - rtt, 0.0), 2),
+        "cot_p50_ms": cot_p50,
         "cot_tokens": max_new,
-        "cot_p95_ms": round(max(p50_cot95 - rtt, 0.0), 2),
+        "cot_p95_ms": cot_p95,
         "cot_p95_tokens": max_new_p95,
+        "nonspec_cot_p50_ms": round(max(p50_cot - rtt, 0.0), 2),
+        "nonspec_cot_p95_ms": round(max(p50_cot95 - rtt, 0.0), 2),
         "raw_p50_action_ms": round(p50_action, 2),
         "raw_cot_p50_ms": round(p50_cot, 2),
         "tunnel_rtt_ms": round(rtt, 2),
