@@ -368,11 +368,31 @@ def _device_reachable(timeout_s: float = 90.0):
                 f"out after {timeout_s:.0f}s)")
 
 
+def _raise_scoped_vmem():
+    """Raise the XLA scoped-VMEM limit (default 16 MiB; v5e has 128 MB
+    physical VMEM). The bwd-attention single-kv-block path — the measured
+    champion — allocates right at the default limit and small staging
+    shifts (e.g. the native-rank dropout layouts) push it 68 KiB over;
+    18 MiB gives it headroom and also admits the batch-7 cell (measured
+    16.11 MiB). kernels/flash_attention.py reads the flag and scales its
+    block heuristics. Must run BEFORE jax is imported. BENCH_SCOPED_VMEM_KIB=0
+    keeps the XLA default."""
+    kib = int(os.environ.get("BENCH_SCOPED_VMEM_KIB", "18432"))
+    # NOT XLA_FLAGS: the CPU jaxlib's flag parser fatals on unknown
+    # --xla_tpu_* flags; on this stack TPU compiler flags ride
+    # LIBTPU_INIT_ARGS, which the PJRT plugin snapshots at init.
+    flags = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if kib and "scoped_vmem_limit" not in flags:
+        os.environ["LIBTPU_INIT_ARGS"] = (
+            flags + f" --xla_tpu_scoped_vmem_limit_kib={kib}").strip()
+
+
 if __name__ == "__main__":
     # Persistent XLA compile cache: a sweep run (scripts/tpu_sweep_inproc.py)
     # warms it, so this process skips the multi-minute train-step compile on
     # slow-tunnel days.
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+    _raise_scoped_vmem()
     probe_error = None
     if os.environ.get("BENCH_SKIP_PROBE", "0") != "1":
         probe_error = _device_reachable()

@@ -39,6 +39,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 STAT_SUBLANES = 8
+
+
+def _scoped_vmem_limit_kib() -> int:
+    """The compiler's scoped-VMEM budget for a kernel's stack (KiB).
+
+    XLA:TPU defaults to 16 MiB, far below v5e's 128 MB physical VMEM;
+    production entry points raise it via
+    ``--xla_tpu_scoped_vmem_limit_kib`` (see bench.py) so the backward's
+    proven single-kv-block path survives small staging shifts and stays
+    available at batch >= 7. The block-size heuristics below scale their
+    empirically calibrated cuts by this limit."""
+    import re
+    m = re.search(r"--xla_tpu_scoped_vmem_limit_kib=(\d+)",
+                  os.environ.get("LIBTPU_INIT_ARGS", "")
+                  + " " + os.environ.get("XLA_FLAGS", ""))
+    return int(m.group(1)) if m else 16384
 LOG2E = 1.4426950408889634  # softmax runs in base 2 (exp2 is the native
                             # VPU transcendental; exp lowers to exp2 + mul)
 
@@ -585,11 +601,16 @@ def _flash_gqa_bwd(causal, scale, block_q, block_k, res, dout):
     # SIMLINGO_ATTN_BWD_BLOCK_K.
     stack_est = 16 * G * block_q * S          # s/p/dp f32 + pc/ds bf16 tiles
     staged_est = 4 * B * HK * S * D           # k+v bf16 operands in VMEM
+    # the 17.9e6 cut was calibrated against the default 16 MiB scoped
+    # limit (see the batch-6/7 measurements below); scale it when the
+    # entry point raised the limit so bigger batches / shifted staging
+    # keep the fast single-block path instead of falling to the kv split
+    single_block_cut = 17_900_000 * _scoped_vmem_limit_kib() // 16384
     env_bk = os.environ.get("SIMLINGO_ATTN_BWD_BLOCK_K")
     if env_bk:
         block_k = min(int(env_bk), S)
     elif (S <= 1280 and S <= bk_limit
-          and stack_est + staged_est < 17_900_000):
+          and stack_est + staged_est < single_block_cut):
         # single-kv-block path. Measured at G=7/bq=128/S=1024: batch 6
         # (est 17.83e6) compiles at ~15.6 MiB scoped; batch 7 (est 18.35e6)
         # allocates 16.11 MiB -- 116 KiB over the 16 MiB limit. The 17.9e6
@@ -603,10 +624,11 @@ def _flash_gqa_bwd(causal, scale, block_q, block_k, res, dout):
         # bf16 + dq f32 revisited blocks + slack); 14*G*T*D matches that
         # measured fixed term. Pick the widest bk that fits.
         fixed_est = 14 * G * T * D
+        split_budget = (_scoped_vmem_limit_kib() - 1024) * 1024
         block_k = 128
         for cand in (512, 256):
             scoped = staged_est + fixed_est + 12 * G * block_q * cand
-            if cand <= bk_limit and scoped < 15 * 2 ** 20:
+            if cand <= bk_limit and scoped < split_budget:
                 block_k = cand
                 break
     block_k = max(128, block_k // 128 * 128)

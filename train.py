@@ -11,9 +11,26 @@ Any dotted `key=value` pair overrides the composed TrainConfig. Use
 """
 
 import argparse
+import os
+
+
+def _raise_scoped_vmem():
+    """Raise XLA's scoped-VMEM limit (default 16 MiB) to 18 MiB before jax
+    is imported: the bwd-attention single-kv-block path allocates right at
+    the default limit (see bench.py + kernels/flash_attention.py, which
+    reads the flag and scales its block heuristics). SIMLINGO_SCOPED_VMEM_KIB=0
+    keeps the XLA default."""
+    kib = int(os.environ.get("SIMLINGO_SCOPED_VMEM_KIB", "18432"))
+    # LIBTPU_INIT_ARGS, not XLA_FLAGS: the CPU jaxlib flag parser fatals
+    # on unknown --xla_tpu_* flags (see bench.py:_raise_scoped_vmem)
+    flags = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if kib and "scoped_vmem_limit" not in flags:
+        os.environ["LIBTPU_INIT_ARGS"] = (
+            flags + f" --xla_tpu_scoped_vmem_limit_kib={kib}").strip()
 
 
 def main():
+    _raise_scoped_vmem()
     ap = argparse.ArgumentParser()
     ap.add_argument("--experiment", default=None,
                     help="configs/<name>.yaml overlay")
