@@ -16,6 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("SIMLINGO_ATTN_IMPL", "pallas")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
 
+import bench
+
+bench._raise_scoped_vmem()          # before jax init (plugin snapshots env)
+
 import jax
 import jax.numpy as jnp
 
