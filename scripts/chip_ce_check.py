@@ -49,9 +49,14 @@ np.testing.assert_allclose(np.asarray(ce_f), np.asarray(ce_r),
 print(f"OK fwd parity (max |d| = "
       f"{float(jnp.abs(ce_f - ce_r).max()):.2e})")
 
-g_f = jax.jit(jax.grad(lambda h: (fused_ce(h, labels, w).astype(
-    jnp.float32) * gmask).sum()))(h2)
-g_r = jax.jit(jax.grad(lambda h: (ref_ce(h, labels, w) * gmask).sum()))(h2)
+# w/labels/gmask must be jit ARGUMENTS: a closed-over [V, H] array embeds
+# a ~272 MB constant in the HLO and the axon remote-compile endpoint
+# rejects the upload (HTTP 413)
+g_f = jax.jit(jax.grad(lambda h, lab, ww, gm: (
+    fused_ce(h, lab, ww).astype(jnp.float32) * gm).sum()))(
+        h2, labels, w, gmask)
+g_r = jax.jit(jax.grad(lambda h, lab, ww, gm: (
+    ref_ce(h, lab, ww) * gm).sum()))(h2, labels, w, gmask)
 d = jnp.abs(g_f.astype(jnp.float32) - g_r.astype(jnp.float32)).max()
 scale = jnp.abs(g_r.astype(jnp.float32)).max()
 assert float(d) <= 0.02 * max(float(scale), 1e-6), (float(d), float(scale))
@@ -69,21 +74,25 @@ def timeit(f, *args):
 
 
 def loop_simple(body):
-    # fold the [N] ce back into the [N, H] carry so iterations are serial
-    def f(x0):
+    # fold the [N] ce back into the [N, H] carry so iterations are serial;
+    # lab/ww/gm stay jit arguments (see HTTP-413 note above)
+    def f(x0, lab, ww, gm):
         def it(_, acc):
-            y = body(acc)                        # [N]
+            y = body(acc, lab, ww, gm)           # [N]
             return acc + y[:, None].astype(acc.dtype) * 1e-9
         return jax.lax.fori_loop(0, ITERS, it, x0)
     return f
 
 
 for name, impl in (("fused", fused_ce), ("xla", ref_ce)):
-    t_f = timeit(loop_simple(lambda a, i=impl: i(a, labels, w)), h2)
+    t_f = timeit(loop_simple(lambda a, lab, ww, gm, i=impl: i(a, lab, ww)),
+                 h2, labels, w, gmask)
     grad_body = jax.grad(
-        lambda h, i=impl: (i(h, labels, w).astype(jnp.float32)
-                           * gmask).sum())
-    t_b = timeit(loop_simple(lambda a, g=grad_body: g(a)[:, 0]), h2)
+        lambda h, lab, ww, gm, i=impl: (
+            i(h, lab, ww).astype(jnp.float32) * gm).sum())
+    t_b = timeit(loop_simple(
+        lambda a, lab, ww, gm, g=grad_body: g(a, lab, ww, gm)[:, 0]),
+        h2, labels, w, gmask)
     print(f"ce-{name:5s} fwd {t_f:7.3f} ms/iter   fwd+bwd {t_b:7.3f} ms/iter",
           flush=True)
 print("ALL OK")
