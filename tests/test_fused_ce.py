@@ -93,3 +93,21 @@ def test_scan_path_unchanged(data):
     np.testing.assert_allclose(np.asarray(ce),
                                np.asarray(_ref_ce(h2, labels, w)).reshape(B, Aq),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_ce_refuses_trainable_embed(monkeypatch):
+    """fused_ce returns no dW by design; building a train step with a
+    trainable llm/embed under SIMLINGO_CE_IMPL=pallas must fail loudly
+    instead of silently dropping the CE-head gradient term."""
+    monkeypatch.setenv("SIMLINGO_CE_IMPL", "pallas")
+    from simlingo_tpu.core import presets
+    from simlingo_tpu.models import simlingo as sm
+    from simlingo_tpu.train import train_step as ts
+
+    cfg = presets.small_shardable()
+    params = sm.init_params(jax.random.PRNGKey(0), cfg)
+    opt = ts.make_optimizer(ts.OptimizerConfig(total_steps=10))
+    with pytest.raises(ValueError, match="FROZEN llm/embed"):
+        ts.make_train_step(cfg, opt)                      # all trainable
+    mask = ts.trainable_mask(params, ts.production_trainable)
+    ts.make_train_step(cfg, opt, trainable_mask_tree=mask)  # frozen: builds
