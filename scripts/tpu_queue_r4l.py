@@ -74,7 +74,11 @@ if __name__ == "__main__":
     #    validates the plain champion compiles at the 18 MiB scoped default
     run("driver rehearsal full bench", [PY, "bench.py"], timeout=5400)
 
-    # 2. dropout-v2 alone (fixed kernel): the champion candidate
+    # 2. dropout-v2 alone (fixed kernel): correctness first — the
+    #    seed-arity fix (815234a) has never run its mask-semantics checks
+    #    on real hardware — then the champion-candidate bench
+    run("dropout-v2 chip check", [PY, "scripts/chip_dropout_check.py"],
+        timeout=1200)
     run("dropout-v2-only bench", [PY, "bench.py"],
         BENCH_MODE="train", BENCH_SKIP_PROBE="1", SIMLINGO_DROPOUT_V2="1")
 
