@@ -25,6 +25,8 @@ class MeshConfig:
     fsdp: int = 1
     tp: int = 1
     sp: int = 1        # sequence axis (ring attention, parallel/sequence.py)
+    pp: int = 1        # pipeline axis (LLM layer stages, parallel/pipeline.py)
+    pp_microbatches: int = 0  # 0 => one microbatch per pipeline stage
 
 
 @dataclasses.dataclass

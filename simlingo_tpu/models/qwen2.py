@@ -302,6 +302,43 @@ def _mlp_block(p, lora, x, cfg: Qwen2Config, dropout_seeds=None):
     return lr("down", jax.nn.silu(lr("gate", x)) * lr("up", x))
 
 
+def _layer_seeds(dropout_rng, layer_idx, mb_idx=None):
+    """7 independent int32 seeds (one per LoRA target) for the hardware-PRNG
+    dropout kernels. layer_idx/mb_idx may be traced (pipeline path)."""
+    key = jax.random.fold_in(dropout_rng, layer_idx)
+    if mb_idx is not None:
+        # pipeline microbatches see different logical shapes; fold the
+        # microbatch id in so masks stay independent across microbatches
+        key = jax.random.fold_in(key, mb_idx)
+    s7 = jax.random.bits(key, (7,), "uint32").astype(jnp.int32)
+    return {name: s7[i:i + 1] for i, name in enumerate(
+        ("q", "k", "v", "o", "gate", "up", "down"))}
+
+
+def _decoder_layer(lp, lo, x, cfg: Qwen2Config, cos, sin, kv_valid,
+                   seeds, causal: bool) -> jnp.ndarray:
+    """One cache-free decoder layer (pre-norm attn + MLP residual blocks).
+    `lo` is the split {'attn': {...}, 'mlp': {...}} adapter dict or None."""
+    a, _ = _attn_block(lp["attn"], lo.get("attn") if lo else None,
+                       L.rmsnorm(lp["ln1"], x, cfg.rms_norm_eps), cfg,
+                       cos, sin, kv_valid, causal,
+                       cache=None, cache_index=None, dropout_seeds=seeds)
+    x = x + a
+    m = _mlp_block(lp["mlp"], lo.get("mlp") if lo else None,
+                   L.rmsnorm(lp["ln2"], x, cfg.rms_norm_eps), cfg, seeds)
+    return x + m
+
+
+def _split_lora(ll: Optional[Dict[str, Any]]) -> Optional[Dict[str, Any]]:
+    """Per-layer adapter dict -> the split form _decoder_layer expects.
+    .get: converted peft checkpoints may adapt a subset of the all-linear
+    targets; absent adapters are identity."""
+    if ll is None:
+        return None
+    return {"attn": {t: ll.get(t) for t in ("q", "k", "v", "o")},
+            "mlp": {t: ll.get(t) for t in ("gate", "up", "down")}}
+
+
 def forward(
     params: Dict[str, Any],
     inputs_embeds: jnp.ndarray,              # [B, T, H]
@@ -316,11 +353,26 @@ def forward(
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, Any]]]:
     """Run the decoder stack on pre-built input embeddings.
 
+    Accepts both layer-param layouts: the legacy dict-of-layers
+    (params["layers"]["0"]...) and the stacked layout (leaves with a
+    leading layer dim, parallel/pipeline.stack_layer_tree). With a
+    pipeline context enabled (parallel/pipeline.enable) and no KV cache,
+    stacked layouts run as a pp-sharded GPipe pipeline.
+
     Returns (last_hidden_state [B, T, H] -- post final RMSNorm, new_cache).
     """
     x = inputs_embeds
     inv_freq = L.rope_frequencies(cfg.head_dim, cfg.rope_theta)
     cos, sin = L.rope_cos_sin(position_ids, inv_freq)
+
+    from simlingo_tpu.parallel import pipeline as _pl
+    stacked = _pl.is_stacked(params["layers"])
+    if stacked and cache is None:
+        return _forward_stacked(params, x, cfg, cos, sin, kv_valid, causal,
+                                lora_params, dropout_rng), None
+    assert not stacked, (
+        "stacked layer layout has no KV-cache decode path; unstack via "
+        "parallel.pipeline.unstack_layer_tree for inference")
 
     cache_index = cache["index"] if cache is not None else None
     new_cache = {"layers": {}, "index": None} if cache is not None else None
@@ -328,12 +380,7 @@ def forward(
     def layer_fn(x, lp, lo, layer_cache, layer_idx):
         seeds = None
         if dropout_rng is not None and cfg.lora_dropout > 0 and lora_params is not None:
-            # one tiny threefry draw per layer -> 7 independent int32 seeds
-            # for the hardware-PRNG dropout kernels (kernels/dropout.py)
-            s7 = jax.random.bits(jax.random.fold_in(dropout_rng, layer_idx),
-                                 (7,), "uint32").astype(jnp.int32)
-            seeds = {name: s7[i:i + 1] for i, name in enumerate(
-                ("q", "k", "v", "o", "gate", "up", "down"))}
+            seeds = _layer_seeds(dropout_rng, layer_idx)
         a, upd = _attn_block(lp["attn"], lo.get("attn") if lo else None,
                              L.rmsnorm(lp["ln1"], x, cfg.rms_norm_eps), cfg,
                              cos, sin, kv_valid, causal,
@@ -348,11 +395,7 @@ def forward(
         lp = params["layers"][str(i)]
         lo = None
         if lora_params is not None:
-            # .get: converted peft checkpoints may adapt a subset of the
-            # all-linear targets; absent adapters are identity
-            ll = lora_params["layers"].get(str(i), {})
-            lo = {"attn": {t: ll.get(t) for t in ("q", "k", "v", "o")},
-                  "mlp": {t: ll.get(t) for t in ("gate", "up", "down")}}
+            lo = _split_lora(lora_params["layers"].get(str(i), {}))
         layer_cache = cache["layers"][str(i)] if cache is not None else None
         fn = jax.checkpoint(layer_fn, static_argnums=(4,)) if (remat and cache is None) else layer_fn
         x, upd = fn(x, lp, lo, layer_cache, i)
@@ -363,6 +406,43 @@ def forward(
         new_cache["index"] = cache_index + inputs_embeds.shape[1]
     x = L.rmsnorm(params["final_norm"], x, cfg.rms_norm_eps)
     return x, new_cache
+
+
+def _forward_stacked(params, x, cfg: Qwen2Config, cos, sin, kv_valid,
+                     causal, lora_params, dropout_rng) -> jnp.ndarray:
+    """Decoder stack over the STACKED layer layout (leaves [L, ...]).
+
+    With a pipeline context active (parallel/pipeline.enable), the layers
+    run as a pp-sharded GPipe pipeline; otherwise they run sequentially on
+    static per-layer slices (so single-device code works on the stacked
+    layout unchanged -- used by the pp parity tests)."""
+    from simlingo_tpu.parallel import pipeline as _pl
+    stk = params["layers"]
+    lstk = None
+    if lora_params is not None:
+        lstk = lora_params["layers"]
+        assert _pl.is_stacked(lstk), \
+            "stacked LLM layers require stacked LoRA (stack_layer_tree)"
+    use_seeds = (dropout_rng is not None and cfg.lora_dropout > 0
+                 and lora_params is not None)
+
+    if _pl.active_axis() is not None:
+        def pp_layer(lp, lo, x_mb, aux, gidx, mb_idx):
+            cos_mb, sin_mb, valid_mb = aux
+            seeds = (_layer_seeds(dropout_rng, gidx, mb_idx)
+                     if use_seeds else None)
+            return _decoder_layer(lp, _split_lora(lo), x_mb, cfg, cos_mb,
+                                  sin_mb, valid_mb, seeds, causal)
+        x = _pl.pipeline_layers(stk, lstk, x, (cos, sin, kv_valid), pp_layer)
+    else:
+        for i in range(cfg.num_layers):
+            lp = _pl.layer_at(stk, i)
+            lo = (_split_lora(_pl.layer_at(lstk, i))
+                  if lstk is not None else None)
+            seeds = _layer_seeds(dropout_rng, i) if use_seeds else None
+            x = _decoder_layer(lp, lo, x, cfg, cos, sin, kv_valid, seeds,
+                               causal)
+    return L.rmsnorm(params["final_norm"], x, cfg.rms_norm_eps)
 
 
 def logits_from_hidden(params, hidden, cfg: Qwen2Config) -> jnp.ndarray:

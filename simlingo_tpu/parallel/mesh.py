@@ -29,26 +29,44 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(dp: int = -1, fsdp: int = 1, tp: int = 1, sp: int = 1,
-              devices=None) -> Mesh:
-    """dp x fsdp x tp mesh, plus an optional sp (sequence) axis.
+              pp: int = 1, devices=None) -> Mesh:
+    """dp x fsdp x tp mesh, plus optional sp (sequence) and pp (pipeline) axes.
 
     sp shards ACTIVATIONS along the sequence dim (parallel/sequence.py ring
     attention); parameters never mention it, so the partition rules below
     are sp-agnostic. sp neighbors sit adjacent in device order so the ring's
     ppermute rides single ICI hops.
+
+    pp shards the LLM decoder LAYER dim (parallel/pipeline.py collective
+    pipelining over stacked layer params); innermost for the same
+    adjacent-ICI-hop reason -- the pipeline's stage-to-stage ppermute is a
+    neighbor transfer.
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp == -1:
-        dp = n // (fsdp * tp * sp)
-    assert dp * fsdp * tp * sp == n, f"{dp}x{fsdp}x{tp}x{sp} != {n} devices"
-    dev = np.asarray(devices).reshape(dp, fsdp, tp, sp)
-    return Mesh(dev, ("dp", "fsdp", "tp", "sp"))
+        dp = n // (fsdp * tp * sp * pp)
+    assert dp * fsdp * tp * sp * pp == n, \
+        f"{dp}x{fsdp}x{tp}x{sp}x{pp} != {n} devices"
+    dev = np.asarray(devices).reshape(dp, fsdp, tp, sp, pp)
+    return Mesh(dev, ("dp", "fsdp", "tp", "sp", "pp"))
 
 
 # (regex over tree path, PartitionSpec) -- first match wins.
 # Paths look like "llm/layers/0/attn/q/w".
 PARTITION_RULES: Sequence[Tuple[str, P]] = (
+    # Stacked-layer (pipeline-parallel) LLM layout: leaves carry a leading
+    # layer dim sharded over pp (parallel/pipeline.py). Paths have NO layer
+    # index ("llm/layers/attn/q/w"), so these exact patterns never match the
+    # legacy dict layout ("llm/layers/0/attn/q/w") below.
+    (r"llm/layers/attn/(q|k|v)/w$",  P("pp", "fsdp", "tp")),
+    (r"llm/layers/attn/(q|k|v)/b$",  P("pp", "tp")),
+    (r"llm/layers/attn/o/w$",        P("pp", "tp", "fsdp")),
+    (r"llm/layers/mlp/(gate|up)/w$", P("pp", "fsdp", "tp")),
+    (r"llm/layers/mlp/down/w$",      P("pp", "tp", "fsdp")),
+    (r"llm/layers/ln[12]/",          P("pp")),
+    (r"lora/layers/[a-z]+/a$",       P("pp", "fsdp", None)),
+    (r"lora/layers/[a-z]+/b$",       P("pp", None, "fsdp")),
     # LLM
     (r"llm/embed/w$",              P("tp", "fsdp")),
     (r"llm/lm_head/w$",            P("fsdp", "tp")),

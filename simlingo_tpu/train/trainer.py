@@ -33,7 +33,7 @@ from simlingo_tpu.data.sampler import Bucket, WeightedBucketSampler
 from simlingo_tpu.data.tokenizer import SimLingoTokenizer
 from simlingo_tpu.models import simlingo
 from simlingo_tpu.parallel import mesh as meshlib
-from simlingo_tpu.parallel import sequence
+from simlingo_tpu.parallel import pipeline, sequence
 from simlingo_tpu.train import train_step as ts
 
 
@@ -200,6 +200,7 @@ def train(cfg: TrainConfig,
         return _train_impl(cfg, make_synthetic)
     finally:
         sequence.disable()      # never leak the sp context past train()
+        pipeline.disable()      # ... nor the pp context
 
 
 def _print_model_summary(params, mask_tree) -> None:
@@ -231,7 +232,8 @@ def _train_impl(cfg: TrainConfig,
     np.random.seed(cfg.seed)
 
     mesh = meshlib.make_mesh(cfg.mesh.dp, cfg.mesh.fsdp, cfg.mesh.tp,
-                             getattr(cfg.mesh, "sp", 1))
+                             getattr(cfg.mesh, "sp", 1),
+                             getattr(cfg.mesh, "pp", 1))
     # sp > 1: eligible attention calls trace through ring attention with the
     # sequence dim sharded (parallel/sequence.py). Scoped via try/finally
     # (see the matching `finally` at the end of this function): the context
@@ -239,6 +241,10 @@ def _train_impl(cfg: TrainConfig,
     # a later single-device jit in the same process would otherwise try to
     # partition over a mesh it doesn't run on.
     sequence.enable(mesh)
+    # pp > 1: the LLM decoder runs as a GPipe pipeline over pp-sharded
+    # stacked layer params (parallel/pipeline.py); the stacking itself
+    # happens right after param init below.
+    pipeline.enable(mesh, microbatches=getattr(cfg.mesh, "pp_microbatches", 0))
     compute_dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
 
     # ---- params ----
@@ -252,6 +258,16 @@ def _train_impl(cfg: TrainConfig,
                 jax.random.PRNGKey(cfg.seed), model_cfg.llm)
     else:
         params = simlingo.init_params(jax.random.PRNGKey(cfg.seed), model_cfg)
+    if mesh.shape["pp"] > 1:
+        # pp layout: LLM (and LoRA) layer params restacked with a leading
+        # layer dim sharded over pp -- each stage holds only its block of
+        # layers at rest (mesh.py stacked partition rules)
+        params["llm"] = dict(params["llm"], layers=pipeline.stack_layer_tree(
+            params["llm"]["layers"]))
+        if "lora" in params:
+            params["lora"] = dict(
+                params["lora"],
+                layers=pipeline.stack_layer_tree(params["lora"]["layers"]))
     params = meshlib.shard_params(params, mesh)
 
     mask = ts.trainable_mask(params, ts.production_trainable)
@@ -397,6 +413,15 @@ def _train_impl(cfg: TrainConfig,
                     "ring-routed in the traced step; check that the LLM "
                     "sequence length divides sp "
                     "(parallel/sequence.py dispatch rules)")
+            if step == start_step and pipeline.active_axis() is not None \
+                    and pipeline.trace_count() == 0:
+                # pp was configured but the decoder never routed through the
+                # pipeline (e.g. params were not restacked): every stage
+                # would replicate all layers, defeating pp entirely
+                raise RuntimeError(
+                    f"mesh.pp={mesh.shape['pp']} but the traced step never "
+                    "entered the layer pipeline; the LLM layer params must "
+                    "use the stacked layout (parallel/pipeline.py)")
             if step == start_step or (cfg.log_every_n_steps > 0 and
                                       (step + 1) % cfg.log_every_n_steps == 0):
                 host = {k: float(jax.device_get(v))
