@@ -395,7 +395,16 @@ if __name__ == "__main__":
     _raise_scoped_vmem()
     probe_error = None
     if os.environ.get("BENCH_SKIP_PROBE", "0") != "1":
-        probe_error = _device_reachable()
+        # The tunnel FLAPS: a wedge can clear between one probe and the
+        # next (observed 2026-08-20, queue probe OK -> bench probe wedged
+        # 90s later). Retry a few times before declaring the round lost.
+        attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
+        for i in range(attempts):
+            probe_error = _device_reachable()
+            if probe_error is None:
+                break
+            if i + 1 < attempts:
+                time.sleep(45)
     if probe_error is not None:
         # honest failure line (value 0), with the last chip-measured
         # number for context -- see docs/BENCH_NOTES.md round 3
