@@ -99,10 +99,15 @@ def latency_bench():
         import numpy as np
         return float(np.percentile(lats, 50) * 1e3)
 
-    # Tunnel tax: every frame above pays one host->device->host round trip
-    # over this dev box's TPU tunnel; a production agent runs ON the TPU
-    # host (PCIe, ~0.2 ms). Measure the tunnel RTT on an already-computed
-    # scalar and report both raw and RTT-adjusted latencies.
+    # Latency methodology (docs/BENCH_NOTES.md "Latency methodology"):
+    # every frame above pays one host->device->host round trip over this
+    # dev box's TPU tunnel; a production agent runs ON the TPU host (PCIe,
+    # ~0.2 ms). Measure the tunnel RTT on an already-computed scalar IN THE
+    # SAME RUN and report BOTH raw on-wire and RTT-adjusted (raw - 1xRTT)
+    # numbers. The RTT varies 25-40 ms day to day, so adjusted values from
+    # different days are not comparable to each other -- compare raw_*
+    # across runs; use adjusted values only as the on-host deployment
+    # estimate from that same run.
     warm = drive(params, di)
     float(jax.device_get(warm.route.sum()))
     rtts = []
@@ -157,6 +162,8 @@ def latency_bench():
         # tail budget too
         spec_p95, rounds95, gl95 = timed_spec(spec95_fn, 6)
         spec_stats = {
+            "raw_spec_cot_p50_ms": round(spec_p50, 2),
+            "raw_spec_cot_p95_ms": round(spec_p95, 2),
             "spec_cot_p50_ms": round(max(spec_p50 - rtt, 0.0), 2),
             "spec_cot_p95_ms": round(max(spec_p95 - rtt, 0.0), 2),
             "spec_rounds": rounds,
@@ -398,7 +405,7 @@ if __name__ == "__main__":
         # The tunnel FLAPS: a wedge can clear between one probe and the
         # next (observed 2026-08-20, queue probe OK -> bench probe wedged
         # 90s later). Retry a few times before declaring the round lost.
-        attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3"))
+        attempts = max(1, int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3")))
         for i in range(attempts):
             probe_error = _device_reachable()
             if probe_error is None:

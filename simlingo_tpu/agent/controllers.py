@@ -58,6 +58,7 @@ class LateralPIDController:
         self.n = n
         self.inference_mode = inference_mode
         self._window: List[float] = []
+        self.last_aim = np.zeros(2)
 
     def step(self, route_np: np.ndarray, current_speed: float) -> float:
         current_speed = current_speed * 3.6
@@ -73,6 +74,9 @@ class LateralPIDController:
                 24, 105), route_np.shape[0] - 1))
         n_lookahead = min(n_lookahead, len(route_np) - 1)
         target = route_np[n_lookahead]
+        # ego-frame aim point, exported in the measurement schema as
+        # `aim_wp` (reference autopilot.py save(): ego_aim_point)
+        self.last_aim = np.asarray(target[:2], float)
 
         yaw_path = np.arctan2(target[1], target[0])
         heading_error = yaw_path % (2 * np.pi)

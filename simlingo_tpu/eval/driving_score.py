@@ -18,7 +18,8 @@ import json
 import os
 from typing import Dict, List, Optional, Sequence
 
-# statistics_manager.py:21-39 penalty values
+# statistics_manager.py PENALTY_VALUE_DICT (both leaderboard variants):
+# fixed multiplicative penalties per counted event.
 PENALTIES: Dict[str, float] = {
     "collisions_pedestrian": 0.50,
     "collisions_vehicle": 0.60,
@@ -26,11 +27,30 @@ PENALTIES: Dict[str, float] = {
     "red_light": 0.70,
     "stop_infraction": 0.80,
     "scenario_timeouts": 0.70,
-    # ignored by the Bench2Drive variant:
+    "yield_emergency_vehicle_infractions": 0.70,
+    # percentage-based (PENALTY_PERC_DICT) -- handled specially below:
+    # min_speed is 'unused' in the Bench2Drive variant (factor 1.0);
+    # outside_route_lanes multiplies (1 - pct/100) per event, pct taken
+    # from the event message ("... (Y% of the completed route)").
     "min_speed_infractions": 1.0,
     "outside_route_lanes": 1.0,
-    "yield_emergency_vehicle_infractions": 1.0,
 }
+
+
+def _event_penalty(name: str, events: Sequence) -> float:
+    """Product of penalties for all events of one infraction type
+    (Bench2Drive statistics_manager.py compute_route_statistics:
+    PENALTY_VALUE_DICT events use a fixed factor per count;
+    OUTSIDE_ROUTE_LANES is [0, 'increases'] => factor (1 - pct/100);
+    MIN_SPEED is 'unused' => factor 1.0)."""
+    if name == "outside_route_lanes":
+        penalty = 1.0
+        for e in events:
+            vals = _floats(e)
+            pct = vals[1] if len(vals) >= 2 else 0.0
+            penalty *= max(0.0, 1.0 - pct / 100.0)
+        return penalty
+    return PENALTIES.get(name, 1.0) ** len(events)
 
 
 def driving_score(route_completion: float,
@@ -38,14 +58,26 @@ def driving_score(route_completion: float,
     """route completion in [0, 100] x product of per-event penalties."""
     score = route_completion
     for name, events in infractions.items():
-        penalty = PENALTIES.get(name, 1.0)
-        score *= penalty ** len(events)
+        score *= _event_penalty(name, events)
     return score
 
 
 def is_success(record: Dict) -> bool:
-    """Bench2Drive success: completed the route with no penalized events
-    (merge_route_json.py): route completion == 100 and score == completion."""
+    """Bench2Drive success (merge_route_json.py:55-66): status Completed
+    or Perfect AND no infractions other than min_speed_infractions.
+
+    Records without a status field (bare score dicts) fall back to the
+    score test (completion == 100 and composed == 100)."""
+    status = record.get("status")
+    if status is not None:
+        if status not in ("Completed", "Perfect"):
+            return False
+        for name, events in record.get("infractions", {}).items():
+            n = len(events) if isinstance(events, (list, tuple)) \
+                else int(bool(events))
+            if n > 0 and name != "min_speed_infractions":
+                return False
+        return True
     scores = record.get("scores", record)
     rc = scores.get("score_route", 0.0)
     ds = scores.get("score_composed", 0.0)
@@ -54,7 +86,9 @@ def is_success(record: Dict) -> bool:
 
 def merge_route_results(result_files: Sequence[str]) -> Dict[str, float]:
     """Aggregate per-route result JSONs -> mean DS + success rate
-    (Bench2Drive/tools/merge_route_json.py:21-62)."""
+    (Bench2Drive/tools/merge_route_json.py:21-62). Like the reference,
+    records with status 'Failed - Agent crashed' are excluded from every
+    aggregate (golden parity: tests/test_reference_goldens.py)."""
     scores: List[float] = []
     successes: List[bool] = []
     km = 0.0
@@ -65,6 +99,8 @@ def merge_route_results(result_files: Sequence[str]) -> Dict[str, float]:
             rec = json.load(f)
         records = rec.get("_checkpoint", {}).get("records", [rec])
         for r in records:
+            if r.get("status") == "Failed - Agent crashed":
+                continue
             s = r.get("scores", r)
             scores.append(float(s.get("score_composed", 0.0)))
             successes.append(is_success(r))

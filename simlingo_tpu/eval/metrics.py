@@ -4,12 +4,24 @@ Counterpart of reference `eval_metrics.py` (evaluation_suit): exact-match
 accuracy + NLG metrics. The reference shells out to the `language_evaluation`
 CocoEvaluator (BLEU/ROUGE-L/CIDEr/METEOR/SPICE) and a GPT-4o judge; here
 BLEU-1..4, ROUGE-L, CIDEr, METEOR and SPICE are implemented directly in
-python/numpy. METEOR uses the exact + Porter-stem matcher stages (the WordNet
-synonymy stage requires the WordNet corpus and is skipped); `spice()` is a
-lexicon-driven scene-graph F1 analogue of the Java corenlp SPICE (same
-tuple-F1 scoring over (object, attribute, relation) triples, rule-based
-parse instead of a dependency parser). `gpt_judge` is available when an
-OpenAI-compatible endpoint is configured.
+python/numpy. `gpt_judge` fans out over a 16-thread pool like the
+reference's Pool(16).
+
+Comparability with published SimLingo numbers, metric by metric:
+  * accuracy, BLEU, ROUGE-L, CIDEr — same formulas as pycocoevalcap
+    (modulo its PTB tokenizer; ours is a lowercase/punctuation-strip
+    tokenizer): directly comparable for the templated driving corpus,
+    which contains no PTB-relevant constructs (contractions, quotes).
+  * METEOR — exact + Porter-stem + WordNet-synonymy stages. The synonym
+    stage activates only when a WordNet corpus is installed (nltk data
+    path or $SIMLINGO_WORDNET_DIR; wordnet_synonyms()); without it,
+    scores are a strict lower bound on the reference's METEOR.
+  * SPICE — a lexicon scene-graph F1 ANALOGUE (same tuple-F1 scoring
+    over (object, attribute, relation) triples, rule-based chunker
+    instead of the Java corenlp dependency parse): NOT numerically
+    comparable to published SPICE; use for relative comparisons between
+    runs of this framework only.
+  * gpt_judge — same prompt/scale; comparable given the same judge model.
 """
 
 from __future__ import annotations
@@ -211,10 +223,42 @@ def _porter_stem(w: str) -> str:
     return w
 
 
-def _meteor_align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
-    """Greedy staged alignment (exact, then stem), NLTK-style: each stage
-    matches remaining unmatched hypothesis words to the first remaining
-    compatible reference word, in position order."""
+_WORDNET = None     # lazy tri-state: None = unchecked, False = absent
+
+
+def wordnet_synonyms(word: str) -> set:
+    """Synonym set from the WordNet corpus, or empty set when no corpus
+    is installed (corpus-file check: nltk data path, optionally extended
+    with $SIMLINGO_WORDNET_DIR). The reference reaches the same stage
+    through pycocoevalcap's METEOR jar, which bundles WordNet; in this
+    environment the corpus is absent and the stage is skipped —
+    documented in the module docstring (published-number comparability).
+    """
+    global _WORDNET
+    if _WORDNET is None:
+        try:
+            import nltk
+            extra = os.environ.get("SIMLINGO_WORDNET_DIR")
+            if extra and extra not in nltk.data.path:
+                nltk.data.path.append(extra)
+            from nltk.corpus import wordnet as wn
+            wn.synsets("car")               # force the corpus load now
+            _WORDNET = wn
+        except Exception:
+            _WORDNET = False
+    if not _WORDNET:
+        return set()
+    return {lemma.name().lower().replace("_", " ")
+            for syn in _WORDNET.synsets(word) for lemma in syn.lemmas()}
+
+
+def _meteor_align(hyp: List[str], ref: List[str],
+                  synonyms=None) -> List[Tuple[int, int]]:
+    """Greedy staged alignment (exact, stem, then synonym), NLTK-style:
+    each stage matches remaining unmatched hypothesis words to the first
+    remaining compatible reference word, in position order. The synonym
+    stage runs only when a provider yields non-empty sets (WordNet when
+    its corpus is installed)."""
     pairs: List[Tuple[int, int]] = []
     h_free = set(range(len(hyp)))
     r_free = set(range(len(ref)))
@@ -228,15 +272,34 @@ def _meteor_align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
                     h_free.discard(i)
                     r_free.discard(j)
                     break
+    if synonyms is not None and h_free and r_free:
+        # NLTK meteor wordnetsyn_match: hyp word matches a ref word when
+        # the ref word is among the hyp word's synset lemmas (or equal)
+        for i in sorted(h_free):
+            syns = synonyms(hyp[i])
+            if not syns:
+                continue
+            syns = syns | {hyp[i]}
+            for j in sorted(r_free):
+                if ref[j] in syns:
+                    pairs.append((i, j))
+                    h_free.discard(i)
+                    r_free.discard(j)
+                    break
     return sorted(pairs)
 
 
 def meteor(preds: Sequence[str], refs: Sequence[str], alpha: float = 0.9,
-           beta: float = 3.0, gamma: float = 0.5) -> float:
+           beta: float = 3.0, gamma: float = 0.5,
+           synonyms=wordnet_synonyms) -> float:
     """Sentence-level METEOR averaged over the corpus.
 
     F_mean = P*R / (alpha*P + (1-alpha)*R); fragmentation penalty
     gamma * (chunks / matches)^beta; standard parameters (0.9, 3, 0.5).
+    Alignment stages: exact, Porter stem, and — when a WordNet corpus is
+    installed (see wordnet_synonyms) — synonymy, matching the reference's
+    METEOR configuration. `synonyms` is injectable for testing/custom
+    lexica; pass None to disable the stage.
     """
     scores = []
     for p, r in zip(preds, refs):
@@ -244,7 +307,7 @@ def meteor(preds: Sequence[str], refs: Sequence[str], alpha: float = 0.9,
         if not hyp or not ref:
             scores.append(0.0)
             continue
-        pairs = _meteor_align(hyp, ref)
+        pairs = _meteor_align(hyp, ref, synonyms=synonyms)
         m = len(pairs)
         if m == 0:
             scores.append(0.0)

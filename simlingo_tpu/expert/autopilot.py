@@ -401,6 +401,8 @@ class AutoPilot:
             "target_point_next": np.asarray(obs.target_point_next).tolist(),
             "command": int(obs.command),
             "next_command": int(obs.next_command),
+            "aim_wp": np.asarray(
+                getattr(self.lateral, "last_aim", [0.0, 0.0])).tolist(),
             "route": np.asarray(obs.route[:n]).tolist(),
             "route_original": np.asarray(obs.route_original[:n]).tolist(),
             "changed_route": bool(obs.changed_route),

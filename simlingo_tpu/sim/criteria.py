@@ -215,9 +215,17 @@ class RouteCriteria:
     def record(self, route_id: str = "RouteScenario_0",
                town: Optional[str] = None,
                wall_time: float = 0.0,
-               scenario_type: Optional[str] = None) -> Dict:
-        """Leaderboard-format route record (statistics_manager schema)."""
-        from simlingo_tpu.eval.driving_score import PENALTIES
+               scenario_type: Optional[str] = None,
+               index: int = 0, weather_id: Optional[str] = None,
+               save_name: str = "") -> Dict:
+        """Leaderboard-format route record — the exact RouteRecord schema
+        the Bench2Drive statistics manager writes
+        (statistics_manager.py RouteRecord + compute_route_statistics:
+        status Perfect/Completed when the target is reached with 0/>0
+        infractions; outside_route_lanes multiplies (1 - pct/100) per
+        event; min_speed is unused in the B2D variant). Golden-pinned in
+        tests/test_reference_goldens.py."""
+        from simlingo_tpu.eval.driving_score import _event_penalty
 
         infractions = dict(self.infractions)
         # min-speed checkpoint event (checkpoints=1: one per route when
@@ -243,22 +251,31 @@ class RouteCriteria:
         rc = self._completion
         penalty = 1.0
         for name, events in infractions.items():
-            penalty *= PENALTIES.get(name, 1.0) ** len(events)
+            penalty *= _event_penalty(name, events)
+        num_infractions = sum(len(v) for v in infractions.values())
         status = self.finished or "Failed - Agent timed out"
+        if status == "Completed":
+            # statistics_manager: target reached -> Perfect when clean
+            status = "Perfect" if num_infractions == 0 else "Completed"
         return {
+            "index": index,
             "route_id": route_id,
-            "status": ("Completed" if status == "Completed"
-                       else status),
+            "scenario_name": scenario_type or "RouteScenario",
+            "weather_id": weather_id,
+            "save_name": save_name or str(route_id),
+            "town_name": town or self.world.map.name,
+            "status": status,
+            "num_infractions": num_infractions,
             "infractions": infractions,
             "scores": {
-                "score_route": rc,
-                "score_penalty": penalty,
-                "score_composed": rc * penalty,
+                "score_route": round(rc, 6),
+                "score_penalty": round(penalty, 6),
+                "score_composed": round(max(rc * penalty, 0.0), 6),
             },
             "meta": {
-                "route_length": self.route_length,
-                "duration_game": self.world.time,
-                "duration_system": wall_time,
+                "route_length": round(self.route_length, 3),
+                "duration_game": round(self.world.time, 3),
+                "duration_system": round(wall_time, 3),
                 "town": town or self.world.map.name,
                 # consumed by eval/b2d_benchmarks.ability_benchmark
                 "scenario_type": scenario_type,

@@ -511,7 +511,8 @@ def run_route(spec: Dict,
               max_steps: Optional[int] = None,
               seed: int = 0,
               on_tick: Optional[Callable] = None,
-              record_dir: Optional[str] = None) -> Dict:
+              record_dir: Optional[str] = None,
+              index: int = 0) -> Dict:
     """Run one route closed-loop; returns the leaderboard record.
 
     record_dir: write a ScenarioLogger record (records.json.gz) for
@@ -551,7 +552,9 @@ def run_route(spec: Dict,
         record = criteria.record(route_id=spec.get("route_id", "micro_0"),
                                  wall_time=time.time() - t0,
                                  scenario_type=(scen[0]["type"]
-                                                if scen else None))
+                                                if scen else None),
+                                 index=index,
+                                 weather_id=spec.get("weather_id"))
     finally:
         driver.destroy(record)
         if recorder is not None:
@@ -565,7 +568,8 @@ def run_routes(specs: Sequence[Dict], driver_factory,
                record_dir: Optional[str] = None) -> Dict:
     """Run many routes; write a leaderboard-format checkpoint JSON."""
     records = [run_route(s, driver_factory, seed=seed + i,
-                         max_steps=max_steps, record_dir=record_dir)
+                         max_steps=max_steps, record_dir=record_dir,
+                         index=i)
                for i, s in enumerate(specs)]
     checkpoint = {"_checkpoint": {"records": records}}
     if out_path:

@@ -44,6 +44,22 @@ def test_meteor():
     assert M.meteor(["anything"], [""]) == 0.0
 
 
+def test_meteor_synonym_stage():
+    """The optional synonymy stage (reference METEOR's WordNet stage,
+    eval_metrics.py via pycocoevalcap) aligns words no exact/stem stage
+    can; injectable provider keeps the test corpus-independent."""
+    refs = ["the car stops for the person"]
+    hyp = ["the automobile halts for the person"]
+    table = {"automobile": {"car", "auto"}, "halts": {"stop", "stops"}}
+    syn = lambda w: table.get(w, set())  # noqa: E731
+    s_with = M.meteor(hyp, refs, synonyms=syn)
+    s_without = M.meteor(hyp, refs, synonyms=None)
+    assert s_with > s_without
+    # default provider degrades gracefully when no corpus is installed
+    assert M.wordnet_synonyms("car") == set() or True
+    assert M.meteor(hyp, refs) >= s_without
+
+
 def _wps(speed, n=10, decel=0.0):
     """Waypoints of a vehicle at `speed` m/s with optional decel m/s^2."""
     t = np.arange(1, n + 1) * 0.25

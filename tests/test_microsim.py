@@ -120,7 +120,7 @@ def _expert_spec(name, at_s, town="straight", end_s=220.0):
 
 def test_expert_completes_empty_route():
     rec = run_route(_expert_spec(None, 0.0), expert_factory())
-    assert rec["status"] == "Completed"
+    assert rec["status"] in ("Completed", "Perfect")
     assert rec["scores"]["score_composed"] == 100.0
 
 
@@ -142,7 +142,7 @@ def test_expert_completes_empty_route():
 ])
 def test_expert_drives_scenario_clean(name, at_s):
     rec = run_route(_expert_spec(name, at_s), expert_factory())
-    assert rec["status"] == "Completed", (name, rec["infractions"])
+    assert rec["status"] in ("Completed", "Perfect"), (name, rec["infractions"])
     assert rec["scores"]["score_composed"] == 100.0, (
         name, rec["infractions"])
 
@@ -152,14 +152,14 @@ def test_expert_invading_turn_on_curve():
             "route_id": "invading",
             "scenarios": [{"type": "InvadingTurn", "at_s": 100.0}]}
     rec = run_route(spec, expert_factory())
-    assert rec["status"] == "Completed", rec["infractions"]
+    assert rec["status"] in ("Completed", "Perfect"), rec["infractions"]
 
 
 def test_expert_stops_at_red_light_crossing():
     spec = {"town": "crossing", "start_s": 5.0, "end_s": 290.0,
             "route_id": "lights"}
     rec = run_route(spec, expert_factory())
-    assert rec["status"] == "Completed"
+    assert rec["status"] in ("Completed", "Perfect")
     assert not rec["infractions"]["red_light"]
 
 
@@ -308,7 +308,7 @@ def test_expert_collection_writes_dataset_layout(tmp_path):
             "scenarios": [{"type": "ParkedObstacle", "at_s": 40.0}]}
     root = str(tmp_path / "micro_data")
     rec = run_route(spec, expert_factory(save_root=root))
-    assert rec["status"] == "Completed"
+    assert rec["status"] in ("Completed", "Perfect")
     route_dir = os.path.join(root, "route_000")
     rgbs = sorted(os.listdir(os.path.join(route_dir, "rgb")))
     assert len(rgbs) >= 5 and rgbs[0] == "0000.jpg"
@@ -403,7 +403,7 @@ def test_expert_turns_at_junction(tmp_path, turn, cmd):
             "route_id": f"Town12_turn_{turn}", "turn": turn}
     rec = run_route(spec, expert_factory(
         save_root=root, dir_name_fmt=f"Town12_turn_{turn}"))
-    assert rec["status"] == "Completed", rec["infractions"]
+    assert rec["status"] in ("Completed", "Perfect"), rec["infractions"]
     assert rec["scores"]["score_composed"] == 100.0, rec["infractions"]
     import glob as _glob
     cmds = []
@@ -487,7 +487,7 @@ def test_turn_command_sequence_is_clean(tmp_path):
             "route_id": "seq", "turn": "left"}
     rec = run_route(spec, expert_factory(save_root=root,
                                          dir_name_fmt="Town12_seq"))
-    assert rec["status"] == "Completed"
+    assert rec["status"] in ("Completed", "Perfect")
     cmds = []
     for fp in sorted(_glob.glob(os.path.join(
             root, "Town12_seq", "measurements", "*.json.gz"))):
@@ -540,7 +540,7 @@ def test_grid_town_multiturn_route(tmp_path):
             "npcs": [{"at_s": 30.0, "lane": 8, "speed": 6.0}]}
     rec = run_route(spec, expert_factory(save_root=root,
                                          dir_name_fmt="Town12_grid"))
-    assert rec["status"] == "Completed", rec["infractions"]
+    assert rec["status"] in ("Completed", "Perfect"), rec["infractions"]
     assert rec["scores"]["score_composed"] == 100.0, rec["infractions"]
     cmds = set()
     for fp in sorted(_glob.glob(os.path.join(
@@ -567,7 +567,7 @@ def test_grid_light_selection_nearest_ahead():
 ])
 def test_expert_drives_dynamic_cutin_scenarios(name, at_s):
     rec = run_route(_expert_spec(name, at_s), expert_factory())
-    assert rec["status"] == "Completed", (name, rec["infractions"])
+    assert rec["status"] in ("Completed", "Perfect"), (name, rec["infractions"])
     assert rec["scores"]["score_composed"] == 100.0, (
         name, rec["infractions"])
 
@@ -578,7 +578,7 @@ def test_expert_left_turn_through_oncoming_flow():
             "scenarios": [{"type": "SignalizedJunctionLeftTurn",
                            "at_s": 138.0}]}
     rec = run_route(spec, expert_factory())
-    assert rec["status"] == "Completed", rec["infractions"]
+    assert rec["status"] in ("Completed", "Perfect"), rec["infractions"]
     assert not rec["infractions"]["collisions_vehicle"]
 
 
@@ -630,7 +630,7 @@ def test_min_speed_event_and_bypass_through_traffic():
             "npcs": [{"at_s": 60.0, "lane": 1, "speed": 7.0},
                      {"at_s": 120.0, "lane": 2, "speed": 7.0}]}
     rec = run_route(spec, expert_factory())
-    assert rec["status"] == "Completed", rec["infractions"]
+    assert rec["status"] in ("Completed", "Perfect"), rec["infractions"]
     assert rec["scores"]["score_composed"] == 100.0
     msgs = rec["infractions"]["min_speed_infractions"]
     assert len(msgs) == 1 and "% of the surrounding traffic" in msgs[0]

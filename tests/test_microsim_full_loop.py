@@ -37,7 +37,7 @@ def collected_root(tmp_path_factory):
         specs, expert_factory(save_root=save_root,
                               dir_name_fmt="Town12_micro_{i:03}"))
     for rec in checkpoint["_checkpoint"]["records"]:
-        assert rec["status"] == "Completed", rec
+        assert rec["status"] in ("Completed", "Perfect"), rec
     return root
 
 

@@ -199,7 +199,7 @@ NEW_ROUTE_SUBSET = [
 def test_expert_drives_new_scenarios(route_id):
     spec = next(s for s in MICROBENCH if s["route_id"] == route_id)
     rec = run_route(spec, expert_factory())
-    assert rec["status"] == "Completed", (route_id, rec["infractions"])
+    assert rec["status"] in ("Completed", "Perfect"), (route_id, rec["infractions"])
     assert rec["scores"]["score_composed"] == 100.0, (
         route_id, rec["infractions"])
 
@@ -302,5 +302,5 @@ def test_microbench220_protocol():
     spec = next(s for s in specs
                 if s["route_id"] == "b2d_DynamicObjectCrossing_1")
     rec = run_route(spec, expert_factory())
-    assert rec["status"] == "Completed", rec["infractions"]
+    assert rec["status"] in ("Completed", "Perfect"), rec["infractions"]
     assert rec["scores"]["score_composed"] == 100.0
