@@ -1034,13 +1034,25 @@ def _flash_lm_bwd(num_heads, causal, scale, block_q, block_k, res, dout):
 
     # inner-block sizing: the pair kernel's score tiles are ROW-STACKED
     # ([2*bq, bk]), and v5e scoped VMEM is 16 MiB -- budget ~12 MiB across
-    # the ~3 fp32 [2bq, bk] tiles (s/p, dp) + bf16 (pc, ds) + stacks
-    block_k = S if S <= 1280 else 256
+    # the ~3 fp32 [2bq, bk] tiles (s/p, dp) + bf16 (pc, ds) + stacks.
+    # Sweep overrides (scripts/attn_bwd_sweep.py): SIMLINGO_ATTN_LM_BWD_
+    # BLOCK_K / _BLOCK_Q pin the kv block / inner q block directly.
+    env_bk = os.environ.get("SIMLINGO_ATTN_LM_BWD_BLOCK_K")
+    if env_bk:
+        block_k = min(int(env_bk), S)
+        while S % block_k != 0:
+            block_k //= 2
+        block_k = max(block_k, 128)
+    else:
+        block_k = S if S <= 1280 else 256
     budget_rows = max((12 * 1024 * 1024) // (24 * block_k), 128)
     bq_inner = 128
     for d in range(128, min(T, budget_rows) + 1, 128):
         if T % d == 0:
             bq_inner = d
+    env_bq = os.environ.get("SIMLINGO_ATTN_LM_BWD_BLOCK_Q")
+    if env_bq and T % int(env_bq) == 0:
+        bq_inner = int(env_bq)
     nk_grid = S // block_k
     dq_dtype = q.dtype if nk_grid == 1 else jnp.float32
 
