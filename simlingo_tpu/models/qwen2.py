@@ -25,6 +25,7 @@ tied word embeddings.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -234,6 +235,42 @@ def _linear_maybe_lora(p, lora, x, cfg: Qwen2Config, dropout_seed=None):
     return y
 
 
+def _lora_fused_enabled() -> bool:
+    return os.environ.get("SIMLINGO_LORA_FUSED", "0") == "1"
+
+
+def _fused_lora_delta(x, adapters, cfg: Qwen2Config, seed):
+    """One LoRA delta for several adapters sharing the same input.
+
+    SIMLINGO_LORA_FUSED=1 lever: concatenate the A matrices ([H, n*r],
+    one matmul at n-fold lane width instead of n rank-r slivers) and
+    place the B matrices on the block diagonal of [n*r, sum(douts)]
+    (off-diagonal zeros contribute nothing and receive no gradient by
+    construction), so the whole q/k/v (or gate/up) adapter group costs
+    TWO matmuls + ONE dropout pass instead of 2n matmuls + n dropout
+    passes. Deliberate semantic delta vs peft: the group shares one
+    dropout mask (peft draws per-adapter masks) -- inference outputs are
+    identical (dropout off), only training stochasticity differs;
+    gated off by default until chip-measured (docs/BENCH_NOTES.md).
+
+    Returns the concatenated delta [..., sum(douts)] (caller splits) --
+    NOT scaled by alpha/r.
+    """
+    r = cfg.lora_r
+    douts = [ad["b"].shape[1] for ad in adapters]
+    a_cat = jnp.concatenate([ad["a"].astype(x.dtype) for ad in adapters],
+                            axis=1)                       # [H, n*r]
+    b_blk = jnp.zeros((len(adapters) * r, sum(douts)), x.dtype)
+    col = 0
+    for i, ad in enumerate(adapters):
+        b_blk = jax.lax.dynamic_update_slice(
+            b_blk, ad["b"].astype(x.dtype), (i * r, col))
+        col += douts[i]
+    if seed is not None and cfg.lora_dropout > 0:
+        return _lora_drop_delta(x, a_cat, b_blk, seed, cfg.lora_dropout)
+    return (x @ a_cat) @ b_blk
+
+
 def _attn_block(p, lora, x, cfg: Qwen2Config, cos, sin, kv_valid, causal,
                 cache=None, cache_index=None, dropout_seeds=None):
     """Self-attention with RoPE/GQA; optionally reads+updates a KV cache.
@@ -249,9 +286,24 @@ def _attn_block(p, lora, x, cfg: Qwen2Config, cos, sin, kv_valid, causal,
         return _linear_maybe_lora(p[name], lora.get(name) if lora else None,
                                   inp, cfg, seed)
 
-    q = lr("q", x).reshape(B, T, nh, hd)
-    k = lr("k", x).reshape(B, T, nkv, hd)
-    v = lr("v", x).reshape(B, T, nkv, hd)
+    if (_lora_fused_enabled() and lora
+            and all(lora.get(t) is not None for t in ("q", "k", "v"))):
+        # fused q/k/v adapter group (see _fused_lora_delta)
+        scale = cfg.lora_alpha / cfg.lora_r
+        seed = dropout_seeds["q"] if dropout_seeds else None
+        delta = _fused_lora_delta(x, [lora[t] for t in ("q", "k", "v")],
+                                  cfg, seed)
+        nq, nk = nh * hd, nkv * hd
+        q = (L.linear(p["q"], x) + scale * delta[..., :nq])
+        k = (L.linear(p["k"], x) + scale * delta[..., nq:nq + nk])
+        v = (L.linear(p["v"], x) + scale * delta[..., nq + nk:])
+        q = q.reshape(B, T, nh, hd)
+        k = k.reshape(B, T, nkv, hd)
+        v = v.reshape(B, T, nkv, hd)
+    else:
+        q = lr("q", x).reshape(B, T, nh, hd)
+        k = lr("k", x).reshape(B, T, nkv, hd)
+        v = lr("v", x).reshape(B, T, nkv, hd)
 
     q = L.apply_rope(q, cos, sin)
     k = L.apply_rope(k, cos, sin)
@@ -285,6 +337,26 @@ def _mlp_block(p, lora, x, cfg: Qwen2Config, dropout_seeds=None):
         seed = dropout_seeds[name] if dropout_seeds else None
         return _linear_maybe_lora(p[name], lora.get(name) if lora else None,
                                   inp, cfg, seed)
+
+    if (_lora_fused_enabled() and lora
+            and lora.get("gate") is not None and lora.get("up") is not None):
+        # fused gate/up adapter group (see _fused_lora_delta)
+        scale = cfg.lora_alpha / cfg.lora_r
+        seed = dropout_seeds["gate"] if dropout_seeds else None
+        delta = _fused_lora_delta(x, [lora["gate"], lora["up"]], cfg, seed)
+        inter = lora["gate"]["b"].shape[1]
+        xg = L.linear(p["gate"], x) + scale * delta[..., :inter]
+        xu = L.linear(p["up"], x) + scale * delta[..., inter:]
+        down_lora = lora.get("down")
+        if down_lora is not None and dropout_seeds is not None \
+                and cfg.lora_dropout > 0:
+            h = jax.nn.silu(xg) * xu
+            y = L.linear(p["down"], h)
+            return y + scale * _lora_drop_delta_glu(
+                xg, xu, down_lora["a"].astype(x.dtype),
+                down_lora["b"].astype(x.dtype), dropout_seeds["down"],
+                cfg.lora_dropout)
+        return lr("down", jax.nn.silu(xg) * xu)
 
     down_lora = lora.get("down") if lora else None
     if down_lora is not None and dropout_seeds is not None \
