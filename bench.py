@@ -207,7 +207,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from simlingo_tpu.core import presets
+    from simlingo_tpu.core import gates, presets
     from simlingo_tpu.data.synthetic import synthetic_example
     from simlingo_tpu.models import simlingo
     from simlingo_tpu.train import train_step as ts
@@ -348,6 +348,10 @@ def main():
         "sustained_tflops": round(tf_s, 1),
         "mfu_nominal_peak": round(tf_s / PEAK_TFLOPS_NOMINAL, 3),
         "mfu_measured_peak": round(tf_s / PEAK_TFLOPS_MEASURED, 3),
+        # which kernel gates produced this number (self-describing artifact:
+        # the r4 VERDICT had to grep defaults out of source to interpret it)
+        "levers": dict(gates.resolved(), batch=batch, remat=remat,
+                       int8_base=os.environ.get("BENCH_INT8_BASE", "0")),
     }))
 
 

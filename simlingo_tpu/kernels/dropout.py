@@ -56,7 +56,8 @@ def _apply(x, seed, rate: float, block_rows: int = 512):
                          jnp.zeros((), x.dtype))
     # keep iff bits >= threshold: P(drop) = threshold / 2^32
     threshold = min(int(round(rate * 2.0 ** 32)), 2 ** 32 - 1)
-    if os.environ.get("SIMLINGO_DROPOUT_V2", "0") == "1":
+    from simlingo_tpu.core import gates
+    if gates.dropout_v2():
         # Native-rank path: operate on the array as-is with a cdiv grid
         # (Mosaic pads boundary reads and masks boundary writes). The
         # flatten-to-2D form below forces XLA to relayout

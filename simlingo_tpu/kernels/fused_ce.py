@@ -19,9 +19,15 @@ forward and once backward, and no logits ever touch HBM:
   bwd:  p_tile = exp(logits_tile - logz)      (recompute, no residual)
         dh += (p_tile - onehot) * g @ W_tile  (MXU)
 
-The LM head is the FROZEN tied embedding ([V, H], base LLM under LoRA
--- reference peft config), so only dh flows; dW is deliberately not
-computed (asserted by the custom VJP returning None for W).
+In the production config the LM head is the FROZEN tied embedding
+([V, H], base LLM under LoRA -- reference peft config), so only dh flows
+and dW is skipped (the custom VJP returns a symbolic zero for W). For
+full-finetune (trainable tied embedding) pass ``compute_dw=True``
+(SIMLINGO_CE_IMPL=pallas_dw): the backward then also emits per-tile
+  dW_tile = dlogits_tile^T @ h                 (MXU, [BV, H])
+written blocked over the vocab grid -- no cross-tile accumulation, the
+weight's gradient costs one extra matmul per tile (~2x the CE backward,
+still logits-free).
 
 Reference counterpart: plain `F.cross_entropy` over full logits inside
 HF modeling code (simlingo_training/models/adaptors.py language head).
@@ -76,8 +82,8 @@ def _fwd_kernel(h_ref, w_ref, lab_ref, m_ref, l_ref, gold_ref,
         axis=1, keepdims=True)
 
 
-def _bwd_kernel(h_ref, w_ref, lab_ref, logz_ref, g_ref, dh_ref,
-                *, block_v: int, vocab: int):
+def _bwd_kernel(h_ref, w_ref, lab_ref, logz_ref, g_ref, dh_ref, *dw_ref,
+                block_v: int, vocab: int):
     j = pl.program_id(0)
     h = h_ref[...]
     # zero the padded rows of the boundary W tile: dlogits is 0 there, but
@@ -100,6 +106,13 @@ def _bwd_kernel(h_ref, w_ref, lab_ref, logz_ref, g_ref, dh_ref,
     dh_ref[...] += jax.lax.dot_general(
         dlogits.astype(w.dtype), w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)            # [N, H]
+    if dw_ref:
+        # full-finetune path: this grid step owns vocab rows [j*BV, (j+1)*BV)
+        # exclusively, so the tile is written once -- no revisiting, no
+        # accumulator. dlogits is already 0 on pad columns.
+        dw_ref[0][...] = jax.lax.dot_general(
+            dlogits.astype(h.dtype), h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [BV, H]
 
 
 def _run_fwd(h2, labels, w, block_v: int):
@@ -122,11 +135,16 @@ def _run_fwd(h2, labels, w, block_v: int):
     return logz, gold[:, 0]
 
 
-def _run_bwd(h2, labels, w, logz, g, block_v: int):
+def _run_bwd(h2, labels, w, logz, g, block_v: int, compute_dw: bool):
     N, H = h2.shape
     V = w.shape[0]
     grid = (pl.cdiv(V, block_v),)
-    dh = pl.pallas_call(
+    out_specs = [pl.BlockSpec((N, H), lambda j: (0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((N, H), jnp.float32)]
+    if compute_dw:
+        out_specs.append(pl.BlockSpec((block_v, H), lambda j: (j, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((V, H), jnp.float32))
+    out = pl.pallas_call(
         functools.partial(_bwd_kernel, block_v=block_v, vocab=V),
         grid=grid,
         in_specs=[pl.BlockSpec((N, H), lambda j: (0, 0)),
@@ -134,52 +152,63 @@ def _run_bwd(h2, labels, w, logz, g, block_v: int):
                   pl.BlockSpec((N, 1), lambda j: (0, 0)),
                   pl.BlockSpec((N, 1), lambda j: (0, 0)),
                   pl.BlockSpec((N, 1), lambda j: (0, 0))],
-        out_specs=pl.BlockSpec((N, H), lambda j: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, H), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
     )(h2, w, labels.reshape(N, 1).astype(jnp.int32),
       logz.reshape(N, 1).astype(jnp.float32), g.reshape(N, 1))
-    return dh
+    return (out[0], out[1]) if compute_dw else (out[0], None)
 
 
-def _pick_block_v(N: int, H: int, vocab: int) -> int:
+def _pick_block_v(N: int, H: int, vocab: int,
+                  compute_dw: bool = False) -> int:
     # VMEM budget ~12 MB: h (2B) + dh acc (4B) resident [N, H], two W tiles
-    # (double-buffered, 2B) and two [N, BV] fp32 intermediates per tile
+    # (double-buffered, 2B) and two [N, BV] fp32 intermediates per tile;
+    # the dW path adds a double-buffered fp32 [BV, H] output tile
     resident = N * H * 6
     per_bv = 2 * H * 2 + 2 * N * 4
+    if compute_dw:
+        per_bv += 2 * H * 4
     bv = (12 * 1024 * 1024 - resident) // per_bv
     bv = max(512, min(8192, bv // 512 * 512))
     return min(bv, -(-vocab // 512) * 512)
 
 
-@jax.custom_vjp
-def fused_ce(h2: jnp.ndarray, labels: jnp.ndarray,
-             w: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_ce(h2: jnp.ndarray, labels: jnp.ndarray, w: jnp.ndarray,
+             compute_dw: bool = False) -> jnp.ndarray:
     """Per-row softmax cross-entropy of rows h2 [N, H] against the tied
-    LM head w [V, H] (frozen: no dW): returns ce [N] fp32 = logz - gold.
+    LM head w [V, H]: returns ce [N] fp32 = logz - gold.
+
+    ``compute_dw=False`` (production: frozen tied embedding) returns a
+    symbolic-zero cotangent for w; ``compute_dw=True`` streams the real
+    dW = dlogits^T @ h per vocab tile for full-finetune.
 
     Rows with out-of-range labels still get a finite logz (their gold sums
     zero contributions) -- callers mask invalid rows themselves, matching
     language_loss_gathered's `valid` handling.
     """
-    ce, _ = _fused_ce_fwd(h2, labels, w)
+    ce, _ = _fused_ce_fwd(h2, labels, w, compute_dw)
     return ce
 
 
-def _fused_ce_fwd(h2, labels, w):
+def _fused_ce_fwd(h2, labels, w, compute_dw):
     block_v = _pick_block_v(h2.shape[0], h2.shape[1], w.shape[0])
     logz, gold = _run_fwd(h2, labels, w, block_v)
     return logz - gold, (h2, labels, w, logz)
 
 
-def _fused_ce_bwd(res, g):
+def _fused_ce_bwd(compute_dw, res, g):
     h2, labels, w, logz = res
-    block_v = _pick_block_v(h2.shape[0], h2.shape[1], w.shape[0])
-    dh = _run_bwd(h2, labels, w, logz, g.astype(jnp.float32), block_v)
-    # the LM head is the frozen tied embedding: no dW by design (the
-    # training partition never routes a grad into it; returning a symbolic
-    # zero keeps that contract explicit and cheap)
-    return dh.astype(h2.dtype), None, jnp.zeros_like(w)
+    block_v = _pick_block_v(h2.shape[0], h2.shape[1], w.shape[0],
+                            compute_dw)
+    dh, dw = _run_bwd(h2, labels, w, logz, g.astype(jnp.float32), block_v,
+                      compute_dw)
+    if dw is None:
+        # frozen tied embedding: the training partition never routes a grad
+        # into w; a symbolic zero keeps that contract explicit and cheap
+        dw = jnp.zeros_like(w)
+    return dh.astype(h2.dtype), None, dw.astype(w.dtype)
 
 
 fused_ce.defvjp(_fused_ce_fwd, _fused_ce_bwd)

@@ -207,19 +207,22 @@ def language_loss_gathered(hidden_g: jnp.ndarray, labels: jnp.ndarray,
     lm-head matmul is ~2% of step FLOPs, so the recompute is noise while
     the memory drops by A/chunk (x5 at the production answer length 160).
 
-    head_w ([V, H] tied-embedding LM head, frozen): when given and
-    SIMLINGO_CE_IMPL=pallas, routes through kernels/fused_ce.py -- the
-    vocab streams through VMEM with an online logsumexp, so even the
-    [B, chunk, V] slabs never touch HBM and the weight is read exactly
-    once per pass (the scan path reads/writes each fp32 slab thrice).
+    head_w ([V, H] tied-embedding LM head): when given and
+    SIMLINGO_CE_IMPL=pallas (frozen head) or pallas_dw (trainable head,
+    streams the real dW per vocab tile), routes through
+    kernels/fused_ce.py -- the vocab streams through VMEM with an online
+    logsumexp, so even the [B, chunk, V] slabs never touch HBM and the
+    weight is read exactly once per pass (the scan path reads/writes each
+    fp32 slab thrice).
     """
     B, A, H = hidden_g.shape
-    if (head_w is not None
-            and os.environ.get("SIMLINGO_CE_IMPL", "xla") == "pallas"):
+    from simlingo_tpu.core import gates
+    if head_w is not None and gates.ce_impl() in ("pallas", "pallas_dw"):
         from simlingo_tpu.kernels.fused_ce import fused_ce
         ce = fused_ce(hidden_g.reshape(B * A, H),
                       labels.reshape(B * A),
-                      head_w.astype(hidden_g.dtype))
+                      head_w.astype(hidden_g.dtype),
+                      gates.ce_impl() == "pallas_dw")
         ce = ce.reshape(B, A)
         return {"language_loss": (jnp.where(valid, ce, 0.0), valid)}
     if chunk <= 0 or A <= chunk or A % chunk != 0:

@@ -83,8 +83,8 @@ def layernorm_init(dim: int, dtype=jnp.float32) -> Params:
 
 
 def _ln_impl() -> str:
-    import os
-    return os.environ.get("SIMLINGO_LN_IMPL", "xla")
+    from simlingo_tpu.core import gates
+    return gates.ln_impl()
 
 
 def layernorm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:

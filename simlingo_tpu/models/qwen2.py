@@ -236,7 +236,8 @@ def _linear_maybe_lora(p, lora, x, cfg: Qwen2Config, dropout_seed=None):
 
 
 def _lora_fused_enabled() -> bool:
-    return os.environ.get("SIMLINGO_LORA_FUSED", "0") == "1"
+    from simlingo_tpu.core import gates
+    return gates.lora_fused()
 
 
 def _fused_lora_delta(x, adapters, cfg: Qwen2Config, seed):

@@ -157,12 +157,13 @@ def make_train_step(model_cfg: SimLingoConfig, opt: optax.GradientTransformation
     is partitioned: only trainable leaves are differentiated and visible to
     the optimizer (init the state with the same mask via init_train_state).
     """
-    import os
-    if os.environ.get("SIMLINGO_CE_IMPL", "xla") == "pallas":
-        # kernels/fused_ce.py's VJP returns zero dW by design (the LM head
-        # is the FROZEN tied embedding in the production config). If the
+    from simlingo_tpu.core import gates
+    if gates.ce_impl() == "pallas":
+        # SIMLINGO_CE_IMPL=pallas: the VJP returns zero dW (the LM head is
+        # the FROZEN tied embedding in the production config). If the
         # embedding is trainable, the CE-head gradient term would be
-        # silently dropped -- refuse to build such a step.
+        # silently dropped -- refuse to build such a step; pallas_dw is the
+        # full-finetune variant that streams the real dW per vocab tile.
         def _embed_trainable(tree) -> bool:
             try:
                 sub = tree["llm"]["embed"]
@@ -173,7 +174,9 @@ def make_train_step(model_cfg: SimLingoConfig, opt: optax.GradientTransformation
             raise ValueError(
                 "SIMLINGO_CE_IMPL=pallas requires a FROZEN llm/embed (the "
                 "fused CE computes no dW for the tied LM head). Freeze the "
-                "base LLM (production_trainable) or unset SIMLINGO_CE_IMPL.")
+                "base LLM (production_trainable), use "
+                "SIMLINGO_CE_IMPL=pallas_dw (streams the real dW), or "
+                "unset SIMLINGO_CE_IMPL.")
 
     def loss_fn(trainable, frozen, batch: DrivingExample, rng):
         params = (merge_params(trainable, frozen) if frozen is not None

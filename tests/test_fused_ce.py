@@ -62,6 +62,36 @@ def test_no_head_grad(data):
     assert float(jnp.abs(gw).max()) == 0.0
 
 
+def test_dw_parity(data):
+    """compute_dw=True streams the real head gradient (full-finetune)."""
+    h2, labels, w = data
+    gmask = jnp.linspace(0.2, 1.7, N)
+
+    def loss_fused(h, ww):
+        return (fused_ce(h, labels, ww, True) * gmask).sum()
+
+    def loss_ref(h, ww):
+        return (_ref_ce(h, labels, ww) * gmask).sum()
+
+    gh_f, gw_f = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(h2, w)
+    gh_r, gw_r = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(h2, w)
+    np.testing.assert_allclose(np.asarray(gh_f), np.asarray(gh_r),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_trainable_embed_builds_with_pallas_dw(monkeypatch):
+    """SIMLINGO_CE_IMPL=pallas_dw lifts the frozen-embed restriction."""
+    monkeypatch.setenv("SIMLINGO_CE_IMPL", "pallas_dw")
+    from simlingo_tpu.core import presets
+    from simlingo_tpu.train import train_step as ts
+
+    cfg = presets.small_shardable()
+    opt = ts.make_optimizer(ts.OptimizerConfig(total_steps=10))
+    ts.make_train_step(cfg, opt)   # all-trainable: builds without raising
+
+
 def test_language_loss_gathered_routes_to_fused(data, monkeypatch):
     monkeypatch.setenv("SIMLINGO_CE_IMPL", "pallas")
     B, Aq = 4, 6
