@@ -58,9 +58,21 @@ def save_checkpoint(ckpt_dir: str, state: Dict[str, Any], step: int,
         wait_for_checkpoints()   # serialize with any pending async save
         if os.path.isdir(path):
             return path
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, state)
-        ckptr.wait_until_finished()
+        # One retry: orbax's ocdbt finalize validation can flake under IO
+        # pressure ("N params are missing .zarray", observed 2026-08-20 on
+        # a scalar opt_state.count leaf) and the failed attempt leaves a
+        # poisoned step_X.orbax-checkpoint-tmp dir that would also break
+        # the next attempt's tmp-dir creation.
+        for attempt in range(2):
+            ckptr = ocp.StandardCheckpointer()
+            try:
+                ckptr.save(path, state)
+                ckptr.wait_until_finished()
+                break
+            except Exception:
+                if attempt:
+                    raise
+                _clean_tmp_dirs(ckpt_dir, step)
         if keep is not None:
             _gc_checkpoints(ckpt_dir, keep)
         return path
@@ -70,6 +82,18 @@ def save_checkpoint(ckpt_dir: str, state: Dict[str, Any], step: int,
         _gc_checkpoints(ckpt_dir, keep)
     c.save(path, state)
     return path
+
+
+def _clean_tmp_dirs(ckpt_dir: str, step: int) -> None:
+    """Remove a failed attempt's orbax tmp dirs for `step` (the writer has
+    already errored out and been joined, so nothing is still writing)."""
+    import shutil
+    prefix = f"step_{step:08d}"
+    if not os.path.isdir(ckpt_dir):
+        return
+    for d in os.listdir(ckpt_dir):
+        if d.startswith(prefix) and "tmp" in d:
+            shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
 
 
 def _finished_steps(ckpt_dir: str):

@@ -462,7 +462,16 @@ def _train_impl(cfg: TrainConfig,
     finally:
         prefetch.close()
 
-    ckpt.save_checkpoint(ckpt_dir, state, total_steps,
-                         keep=cfg.keep_checkpoints)
+    try:
+        ckpt.save_checkpoint(ckpt_dir, state, total_steps,
+                             keep=cfg.keep_checkpoints)
+    except Exception as e:  # noqa: BLE001 -- deliberate: see message
+        # A failed final disk write (flaky orbax/tensorstore finalize,
+        # full disk) must not destroy the completed training run: the
+        # state is in memory and the caller can re-save. Loud, not silent.
+        print(f"WARNING: final checkpoint save failed after retry: {e!r}; "
+              f"returning in-memory state (re-save with "
+              f"core.checkpoint.save_checkpoint)", flush=True)
+        last_metrics["final_checkpoint_error"] = repr(e)
     return {"state": state, "metrics": last_metrics,
             "total_steps": total_steps}

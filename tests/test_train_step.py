@@ -165,6 +165,42 @@ def test_async_checkpoint_overlap_gc_and_idempotence(tmp_path):
     assert kept == ["step_00000003", "step_00000004"], kept
 
 
+def test_blocking_save_retries_after_flaky_failure(tmp_path, monkeypatch):
+    """A first-attempt orbax failure (flaky ocdbt finalize, observed
+    2026-08-20: 'params are missing .zarray') leaves a poisoned tmp dir;
+    the blocking save must clean it and succeed on the retry instead of
+    destroying the training run."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from simlingo_tpu.core import checkpoint as ckpt
+
+    d = str(tmp_path)
+    state = {"w": jnp.arange(6.0).reshape(2, 3), "count": jnp.int32(7)}
+    calls = {"n": 0}
+    real = ocp.StandardCheckpointer
+
+    class FlakyOnce(real):
+        def save(self, path, *a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                # simulate the failed attempt's leftover tmp dir too
+                os.makedirs(os.path.join(
+                    d, "step_00000007.orbax-checkpoint-tmp-123/x"))
+                raise ValueError("Save failed: 1/2 params are missing "
+                                 ".zarray in checkpoint: count.")
+            return real.save(self, path, *a, **kw)
+
+    monkeypatch.setattr(ocp, "StandardCheckpointer", FlakyOnce)
+    p = ckpt.save_checkpoint(d, state, 7, block=True)
+    assert calls["n"] == 2
+    assert os.path.isdir(p)
+    assert not [x for x in os.listdir(d) if "tmp" in x]
+    restored = ckpt.restore_checkpoint(p, state)
+    assert int(restored["count"]) == 7
+
+
 def test_visualise_callback(tmp_path):
     """Reference-parity visualisation (VERDICT r2 #5): waypoint + route
     grids, text panel, projected camera overlay; log_image fan-out."""
