@@ -17,5 +17,26 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Quick/slow tiering (VERDICT-r4 item 7): whole modules dominated by
+# e2e pipelines, microsim suites, or interpret-mode kernel sweeps are
+# marked slow so `scripts/ci.sh` can run a <3 min quick tier by default.
+# Measured with `pytest --durations` 2026-08-20; everything else is quick.
+SLOW_MODULES = {
+    "test_full_pipeline",        # collect->train->checkpoint->resume->eval
+    "test_microsim_full_loop",   # expert collect -> label -> train -> drive
+    "test_microsim",             # 44 scenario types + route suite
+    "test_scenarios_b2d",        # per-scenario closed-loop ability checks
+    "test_flash_attention",      # interpret-mode fwd+bwd sweeps
+    "test_hf_checkpoint",        # torch-parity at reduced geometry
+    "test_model_parity",         # full-model cross-impl comparisons
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
