@@ -18,7 +18,6 @@ stream itself differs, which dropout semantics do not care about).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ fixed [text | route queries | speed queries] layout (see core/structs.py).
 
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -25,7 +25,6 @@ tied word embeddings.
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -127,7 +126,6 @@ def merge_lora(params: Dict[str, Any], lora_params: Dict[str, Any],
     Used at inference: removes the per-layer low-rank matmuls from the
     decode hot loop (the reference merges via peft before export).
     """
-    import copy
     scale = cfg.lora_alpha / cfg.lora_r
     out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
     for i_str, layer in lora_params["layers"].items():
