@@ -16,6 +16,10 @@ from simlingo_tpu.labels import buckets, commentary, dreamer_gen, vqa
 def route(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("lbl"))
     rd = _write_route(root, "v1/b0/routes_training/Town12_l", n_frames=30)
+    # generate the VQA labels here, not in an "earlier test": under xdist
+    # the tests of this module can land on different workers, each with its
+    # own module-fixture instance (r5: test_eval_set_build_and_match flaked)
+    vqa.generate_route_vqa(rd)
     return root, rd
 
 
@@ -274,7 +278,7 @@ def test_eval_set_build_and_match(route, tmp_path):
                                              parse_eval_set)
     from simlingo_tpu.data.index import build_index
 
-    root, rd = route   # fixture already generated vqa files in earlier tests
+    root, rd = route   # fixture generates the vqa files
     es = build_eval_set(root, mode="QA", samples_per_template=3)
     assert es, "no VQA templates found"
     p = tmp_path / "evalset_vqa.json"

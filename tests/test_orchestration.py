@@ -61,7 +61,7 @@ def test_babysitter_retries_and_completes(tmp_path):
             log_path=str(tmp_path / "flaky.log"), max_retries=3),
     ]
     sitter = Babysitter(jobs, LocalBackend(), max_concurrent=2,
-                        poll_interval_s=0.05, hang_timeout_s=30)
+                        poll_interval_s=0.05, hang_timeout_s=300)
     counts = sitter.run()
     assert counts["finished"] == 2
     assert counts["failed"] == 0
@@ -86,7 +86,7 @@ def test_babysitter_resumes_past_done_files(tmp_path):
             done_file=str(tmp_path / "b.json")),
     ]
     sitter = Babysitter(jobs, LocalBackend(), max_concurrent=2,
-                        poll_interval_s=0.05, hang_timeout_s=30)
+                        poll_interval_s=0.05, hang_timeout_s=300)
     counts = sitter.run()
     assert counts["finished"] == 2 and counts["failed"] == 0
     assert not touched.exists()        # the completed job never re-ran
