@@ -16,7 +16,11 @@ class AgentConfig:
     use_cot: bool = True                 # commentary chain-of-thought per frame
     # w8a16 decode weights for the (LoRA-merged) LLM: ~0.7 ms/token vs 1.0
     # bf16 on v5e -- the CoT path's latency budget depends on it
-    # (docs/BENCH_NOTES.md round 2). Set False to serve in bf16.
+    # (docs/BENCH_NOTES.md round 2). Quality validated r5 on a
+    # synthetic-TRAINED checkpoint (best available while the real weights
+    # are unreachable, BASELINE.md): int8 tokens identical to bf16 (48/48),
+    # waypoint drift <= 0.09 m, closed-loop DS within noise
+    # (docs/MICROBENCH_MODEL_r05.json). Set False to serve in bf16.
     int8_llm: bool = True
     # w4a16 (group-128 scales): halves decode weight bytes again; opt-in
     # pending quality validation on real checkpoints (overrides int8_llm)
