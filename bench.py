@@ -383,12 +383,17 @@ def _raise_scoped_vmem():
     """Raise the XLA scoped-VMEM limit (default 16 MiB; v5e has 128 MB
     physical VMEM). The bwd-attention single-kv-block path — the measured
     champion — allocates right at the default limit and small staging
-    shifts (e.g. the native-rank dropout layouts) push it 68 KiB over;
-    18 MiB gives it headroom and also admits the batch-7 cell (measured
-    16.11 MiB). kernels/flash_attention.py reads the flag and scales its
+    shifts push it over (68 KiB over 16 MiB in r4; the dropout-v2 layouts
+    take it to 20.07 MiB in r5, hence the 24 MiB default below, which also
+    admits the batch-7 cell). kernels/flash_attention.py reads the flag
+    and scales its
     block heuristics. Must run BEFORE jax is imported. BENCH_SCOPED_VMEM_KIB=0
     keeps the XLA default."""
-    kib = int(os.environ.get("BENCH_SCOPED_VMEM_KIB", "18432"))
+    # 24 MiB default since r5: dropout-v2 (the production default) shifts
+    # the bwd-attention single-kv-block scoped allocation to 20.07 MiB;
+    # chip_vmem_probe measured 24 MiB as the smallest working limit, and
+    # the cost on the no-lever step is ~0.5% (15.25 vs 15.32, r5 matrix).
+    kib = int(os.environ.get("BENCH_SCOPED_VMEM_KIB", "24576"))
     # NOT XLA_FLAGS: the CPU jaxlib's flag parser fatals on unknown
     # --xla_tpu_* flags; on this stack TPU compiler flags ride
     # LIBTPU_INIT_ARGS, which the PJRT plugin snapshots at init.

@@ -17,10 +17,17 @@ import os
 # round-5 measurement table for the numbers behind each choice).
 _DEFAULTS = {
     "SIMLINGO_ATTN_IMPL": "auto",    # per-backend pick; entries force pallas
-    "SIMLINGO_CE_IMPL": "xla",       # fused Pallas CE: frozen-embed only
-    "SIMLINGO_DROPOUT_V2": "0",      # native-rank hardware-PRNG dropout
-    "SIMLINGO_LN_IMPL": "xla",       # fused Pallas LayerNorm/RMSNorm
-    "SIMLINGO_LORA_FUSED": "0",      # grouped q/k/v + gate/up LoRA matmuls
+    "SIMLINGO_CE_IMPL": "xla",       # pallas CE measured SLOWER in-context
+                                     # (16.82 vs 17.01 on top of V2, r5)
+    "SIMLINGO_DROPOUT_V2": "1",      # native-rank hardware-PRNG dropout:
+                                     # 17.01 vs 15.32 samples/s (r5 matrix);
+                                     # needs the 24 MiB scoped-VMEM limit
+                                     # (train.py/bench.py default)
+    "SIMLINGO_LN_IMPL": "xla",       # pallas LN: no in-context win (r5 all-
+                                     # levers cell 15.25) + flaky compile
+    "SIMLINGO_LORA_FUSED": "0",      # +4% alone but subsumed by V2 (16.97
+                                     # vs 17.01) and changes group dropout
+                                     # mask semantics -- keep off
 }
 
 

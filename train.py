@@ -15,12 +15,15 @@ import os
 
 
 def _raise_scoped_vmem():
-    """Raise XLA's scoped-VMEM limit (default 16 MiB) to 18 MiB before jax
-    is imported: the bwd-attention single-kv-block path allocates right at
-    the default limit (see bench.py + kernels/flash_attention.py, which
-    reads the flag and scales its block heuristics). SIMLINGO_SCOPED_VMEM_KIB=0
-    keeps the XLA default."""
-    kib = int(os.environ.get("SIMLINGO_SCOPED_VMEM_KIB", "18432"))
+    """Raise XLA's scoped-VMEM limit (default 16 MiB) before jax is
+    imported: the bwd-attention single-kv-block path allocates right at
+    the default limit, and the dropout-v2 layouts push it to 20.07 MiB
+    (see bench.py + kernels/flash_attention.py, which reads the flag and
+    scales its block heuristics). SIMLINGO_SCOPED_VMEM_KIB=0 keeps the
+    XLA default."""
+    # 24 MiB since r5: the dropout-v2 production default needs it
+    # (see bench.py:_raise_scoped_vmem and docs/BENCH_NOTES.md round 5)
+    kib = int(os.environ.get("SIMLINGO_SCOPED_VMEM_KIB", "24576"))
     # LIBTPU_INIT_ARGS, not XLA_FLAGS: the CPU jaxlib flag parser fatals
     # on unknown --xla_tpu_* flags (see bench.py:_raise_scoped_vmem)
     flags = os.environ.get("LIBTPU_INIT_ARGS", "")
