@@ -414,13 +414,16 @@ if __name__ == "__main__":
         # The tunnel FLAPS: a wedge can clear between one probe and the
         # next (observed 2026-08-20, queue probe OK -> bench probe wedged
         # 90s later). Retry a few times before declaring the round lost.
-        attempts = max(1, int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3")))
+        # 8 x 120 s rides out the ~30-40 min post-process-exit wedge
+        # (docs/KNOWN_ISSUES.md round 5) while still producing the honest
+        # error line well inside any sane caller timeout.
+        attempts = max(1, int(os.environ.get("BENCH_PROBE_ATTEMPTS", "8")))
         for i in range(attempts):
             probe_error = _device_reachable()
             if probe_error is None:
                 break
             if i + 1 < attempts:
-                time.sleep(45)
+                time.sleep(120)
     if probe_error is not None:
         # honest failure line (value 0), with the last chip-measured
         # number for context -- see docs/BENCH_NOTES.md round 3
@@ -428,7 +431,7 @@ if __name__ == "__main__":
             "metric": "train_samples_per_sec_per_chip",
             "value": 0.0, "unit": "samples/s", "vs_baseline": 0.0,
             "error": probe_error,
-            "last_measured_samples_per_sec": 15.6,
+            "last_measured_samples_per_sec": 16.99,
         }))
         sys.exit(0)
     mode = os.environ.get("BENCH_MODE", "all")
